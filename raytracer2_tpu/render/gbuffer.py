@@ -1,0 +1,131 @@
+"""Primary-ray G-buffer pass.
+
+Port of src/shaders/lighting_passes/g_buffer.rgen: one camera ray per pixel,
+hit attributes packed into the same formats the reference uses
+(render_resources.rs:39-101): depth R32F, oct-unorm32 normals, R11G11B10
+albedo, RGBA8-gamma specular+roughness, RGBA16F emissive, motion vectors.
+Keeping the packed layout costs a few VPU ops but keeps memory at 4 bytes per
+channel and gives byte-level parity for golden tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer2_tpu.params import BACKGROUND_DEPTH, GConst, PlanarViewConstants
+from raytracer2_tpu.render import rays as raysmod
+from raytracer2_tpu.render.reference import TraceFn
+from raytracer2_tpu.render.surface import (
+    Surface, get_surface_diffuse_probability)
+from raytracer2_tpu.scene.scene import Scene, get_geometry_from_hit
+from raytracer2_tpu.utils import packing as pk
+from raytracer2_tpu.utils.brdf import normalize
+
+
+class GBuffer(NamedTuple):
+    """Packed G-buffer planes (ref: render_resources.rs:39-46, 52-101)."""
+
+    depth: jax.Array  # [H, W] f32
+    normals: jax.Array  # [H, W] u32 oct-unorm32
+    geo_normals: jax.Array  # [H, W] u32
+    diffuse_albedo: jax.Array  # [H, W] u32 R11G11B10
+    specular_rough: jax.Array  # [H, W] u32 RGBA8-gamma (rgb=F0, a=roughness)
+    emissive: jax.Array  # [H, W, 3] f32
+
+
+def empty_gbuffer(height: int, width: int) -> GBuffer:
+    return GBuffer(
+        depth=jnp.full((height, width), BACKGROUND_DEPTH, jnp.float32),
+        normals=jnp.zeros((height, width), jnp.uint32),
+        geo_normals=jnp.zeros((height, width), jnp.uint32),
+        diffuse_albedo=jnp.zeros((height, width), jnp.uint32),
+        specular_rough=jnp.zeros((height, width), jnp.uint32),
+        emissive=jnp.zeros((height, width, 3), jnp.float32),
+    )
+
+
+def gbuffer_pass(
+    scene: Scene,
+    g_const: GConst,
+    trace_fn: TraceFn,
+    width: int,
+    height: int,
+) -> tuple[GBuffer, jax.Array]:
+    """Trace primary rays and fill the G-buffer + motion vectors
+    (g_buffer.rgen:14-47). Returns (GBuffer, motion [H, W, 3])."""
+    px, py = raysmod.pixel_grid(width, height)
+    pxf = px.reshape(-1)
+    pyf = py.reshape(-1)
+
+    rays = raysmod.setup_primary_ray(pxf, pyf, g_const.view)
+    hit = trace_fn(rays.origin, rays.direction, rays.t_min, rays.t_max)
+    missed = hit.missed
+
+    attribs = jnp.stack([hit.u, hit.v], axis=-1)
+    geom = get_geometry_from_hit(
+        scene, hit.geometry_index.astype(jnp.int32),
+        hit.primitive_id.astype(jnp.int32), attribs,
+        textures_enabled=bool(g_const.textures))
+
+    world_pos = rays.origin + rays.direction * hit.t[..., None]
+    # static scene: prev position == current (g_buffer.rgen:28-29)
+    motion = raysmod.get_motion_vector(
+        g_const.view, g_const.prev_view, world_pos, world_pos)
+
+    oct_n = pk.ndir_to_oct_unorm32(geom.normal)
+    albedo = pk.pack_r11g11b10_ufloat(geom.diffuse_albedo)
+    spec_rough = pk.pack_rgba8_gamma_ufloat(
+        jnp.concatenate([geom.specular_f0, geom.roughness[..., None]], axis=-1))
+
+    def img(x, fill):
+        return jnp.where(missed, fill, x).reshape(height, width)
+
+    gbuffer = GBuffer(
+        depth=img(hit.t, jnp.float32(BACKGROUND_DEPTH)),
+        normals=img(oct_n, jnp.uint32(0)),
+        # geo normal = shading normal (g_buffer.rgen:32-33 quirk)
+        geo_normals=img(oct_n, jnp.uint32(0)),
+        diffuse_albedo=img(albedo, jnp.uint32(0)),
+        specular_rough=img(spec_rough, jnp.uint32(0)),
+        emissive=jnp.where(missed[..., None], 0.0,
+                           geom.emission).reshape(height, width, 3),
+    )
+    motion = jnp.where(missed[..., None], 0.0, motion).reshape(height, width, 3)
+    return gbuffer, motion
+
+
+def surface_from_gbuffer(gbuffer: GBuffer, view: PlanarViewConstants,
+                         pixel_x: jax.Array, pixel_y: jax.Array,
+                         width: int, height: int) -> Surface:
+    """Port of GetGBufferSurface (RtxdiApplicationBridge.glsl:295-321):
+    rebuild a Surface from packed G-buffer planes at (possibly gathered)
+    pixel positions. Out-of-view positions yield invalid surfaces."""
+    in_view = ((pixel_x >= 0) & (pixel_x < width)
+               & (pixel_y >= 0) & (pixel_y < height))
+    x = jnp.clip(pixel_x, 0, width - 1)
+    y = jnp.clip(pixel_y, 0, height - 1)
+
+    depth = jnp.where(in_view, gbuffer.depth[y, x], BACKGROUND_DEPTH)
+    normal = pk.oct_unorm32_to_ndir(gbuffer.normals[y, x])
+    geo_normal = pk.oct_unorm32_to_ndir(gbuffer.geo_normals[y, x])
+    albedo = pk.unpack_r11g11b10_ufloat(gbuffer.diffuse_albedo[y, x])
+    spec_rough = pk.unpack_rgba8_gamma_ufloat(gbuffer.specular_rough[y, x])
+
+    world_pos = raysmod.view_depth_to_world_pos(view, x, y, depth)
+    view_dir = normalize(
+        view.camera_direction_or_position[:3] - world_pos)
+    return Surface(
+        world_pos=world_pos,
+        view_dir=view_dir,
+        view_depth=depth,
+        normal=normal,
+        geo_normal=geo_normal,
+        diffuse_albedo=albedo,
+        specular_f0=spec_rough[..., :3],
+        roughness=spec_rough[..., 3],
+        diffuse_probability=get_surface_diffuse_probability(
+            albedo, spec_rough[..., :3], view_dir, normal),
+    )

@@ -1,0 +1,119 @@
+"""Primary-ray generation and view-space helpers.
+
+Whole-image ports of src/shaders/GBufferHelpers.glsl: rays for every pixel are
+produced as SoA arrays in one shot (the raygen "launch grid" is just array
+shape here).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer2_tpu.params import BACKGROUND_DEPTH, PlanarViewConstants
+from raytracer2_tpu.utils.brdf import normalize
+
+
+class Rays(NamedTuple):
+    """SoA ray batch (ref RayDesc: GBufferHelpers.glsl:5-10)."""
+
+    origin: jax.Array  # [..., 3]
+    direction: jax.Array  # [..., 3]
+    t_min: jax.Array  # [...]
+    t_max: jax.Array  # [...]
+
+
+def pixel_grid(width: int, height: int) -> tuple[jax.Array, jax.Array]:
+    """Integer pixel coordinates (x, y) as [H, W] arrays (gl_LaunchIDEXT.xy)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    return xs, ys
+
+
+def setup_primary_ray(pixel_x: jax.Array, pixel_y: jax.Array,
+                      view: PlanarViewConstants) -> Rays:
+    """Port of setupPrimaryRay (GBufferHelpers.glsl:12-27)."""
+    px = pixel_x.astype(jnp.float32) + 0.5
+    py = pixel_y.astype(jnp.float32) + 0.5
+    uv_x = px / view.viewport_size[0]
+    uv_y = py / view.viewport_size[1]
+    dx = uv_x * 2.0 - 1.0
+    dy = uv_y * 2.0 - 1.0
+
+    clip = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
+    target = jnp.einsum("ij,...j->...i", view.mat_clip_to_view, clip)
+    tdir = normalize(target[..., :3])
+    world_dir = jnp.einsum(
+        "ij,...j->...i", view.mat_view_to_world[:3, :3], tdir)
+
+    origin = jnp.broadcast_to(
+        view.camera_direction_or_position[:3], world_dir.shape)
+    return Rays(
+        origin=origin,
+        direction=world_dir,
+        t_min=jnp.zeros(world_dir.shape[:-1], jnp.float32),
+        t_max=jnp.full(world_dir.shape[:-1], BACKGROUND_DEPTH, jnp.float32),
+    )
+
+
+def view_depth_to_world_pos(view: PlanarViewConstants, pixel_x: jax.Array,
+                            pixel_y: jax.Array,
+                            view_depth: jax.Array) -> jax.Array:
+    """Port of viewDepthToWorldPos (GBufferHelpers.glsl:54-67)."""
+    rays = setup_primary_ray(pixel_x, pixel_y, view)
+    return rays.origin + rays.direction * view_depth[..., None]
+
+
+def get_motion_vector(view: PlanarViewConstants, view_prev: PlanarViewConstants,
+                      world_pos: jax.Array,
+                      prev_world_pos: jax.Array) -> jax.Array:
+    """Port of getMotionVector (GBufferHelpers.glsl:29-52): pixel-space xy
+    delta to the previous frame + clip-w depth delta."""
+    ones = jnp.ones(world_pos.shape[:-1] + (1,), world_pos.dtype)
+    clip = jnp.einsum("ij,...j->...i", view.mat_world_to_clip,
+                      jnp.concatenate([world_pos, ones], axis=-1))
+    prev_clip = jnp.einsum("ij,...j->...i", view_prev.mat_world_to_clip,
+                           jnp.concatenate([prev_world_pos, ones], axis=-1))
+    w = clip[..., 3:4]
+    pw = prev_clip[..., 3:4]
+    ndc = clip[..., :3] / jnp.where(w == 0.0, 1.0, w)
+    prev_ndc = prev_clip[..., :3] / jnp.where(pw == 0.0, 1.0, pw)
+
+    motion_xy = ((prev_ndc[..., :2] - ndc[..., :2]) / 2.0
+                 * view.viewport_size
+                 + (view.pixel_offset - view_prev.pixel_offset))
+    motion_z = (prev_clip[..., 3] - clip[..., 3])[..., None]
+    motion = jnp.concatenate([motion_xy, motion_z], axis=-1)
+    valid = (clip[..., 3:4] > 0.0) & (prev_clip[..., 3:4] > 0.0)
+    return jnp.where(valid, motion, 0.0)
+
+
+def get_environment_motion_vector(view: PlanarViewConstants,
+                                  view_prev: PlanarViewConstants,
+                                  window_pos: jax.Array) -> jax.Array:
+    """Port of getEnvironmentMotionVector (post_processing.comp:127-146)."""
+    clip_xy = view.window_to_clip_scale * window_pos + view.window_to_clip_bias
+    zeros = jnp.zeros(window_pos.shape[:-1] + (1,), window_pos.dtype)
+    ones = jnp.ones_like(zeros)
+    clip = jnp.concatenate([clip_xy, zeros, ones], axis=-1)
+    world = jnp.einsum("ij,...j->...i", view.mat_clip_to_world, clip)
+    prev_clip = jnp.einsum("ij,...j->...i", view_prev.mat_world_to_clip, world)
+    pw = prev_clip[..., 3:4]
+    prev_ndc = prev_clip[..., :2] / jnp.where(pw == 0.0, 1.0, pw)
+    motion = (view.clip_to_window_scale * (prev_ndc - clip_xy)
+              + (view.pixel_offset - view_prev.pixel_offset))
+    return motion
+
+
+def convert_motion_vector_to_pixel_space(
+        view: PlanarViewConstants, view_prev: PlanarViewConstants,
+        pixel_x: jax.Array, pixel_y: jax.Array,
+        motion: jax.Array) -> jax.Array:
+    """Port of convertMotionVectorToPixelSpace (GBufferHelpers.glsl:69-80)."""
+    center = jnp.stack([pixel_x.astype(jnp.float32) + 0.5,
+                        pixel_y.astype(jnp.float32) + 0.5], axis=-1)
+    prev_pos = center + motion[..., :2]
+    prev_pos = prev_pos * (view_prev.viewport_size * view.viewport_size_inv)
+    return jnp.concatenate([prev_pos - center, motion[..., 2:]], axis=-1)

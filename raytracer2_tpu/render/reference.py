@@ -1,0 +1,137 @@
+"""Brute-force reference path tracer — the correctness oracle.
+
+Port of src/shaders/lighting_passes/refrence.rgen: maxSamples diffuse paths of
+maxBounces bounces per pixel, environment termination, emission accumulated at
+every hit. The GLSL per-pixel loop with `break` becomes a masked lax loop:
+inactive lanes stop contributing AND stop consuming RNG draws, so the random
+sequence stays bit-identical to the sequential shader.
+
+This is the ground-truth mode toggled by GConst.refrence_mode (main.rs:536,
+light_passes.rs:587-596) and the RMSE baseline for every ReSTIR pass
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from raytracer2_tpu.params import BACKGROUND_DEPTH, GConst
+from raytracer2_tpu.render import rays as raysmod
+from raytracer2_tpu.render.surface import get_surface_brdf_sample, surface_from_hit
+from raytracer2_tpu.scene.scene import Scene, get_environment_radiance
+from raytracer2_tpu.ops.intersect import HitRecord, intersect_brute_force
+from raytracer2_tpu.utils import rng as rtrng
+
+MAX_BOUNCES = 5  # (ref: refrence.rgen:16)
+MAX_SAMPLES = 12  # (ref: refrence.rgen:17)
+
+TraceFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], HitRecord]
+
+
+def make_brute_force_tracer(scene: Scene, chunk: int = 512) -> TraceFn:
+    """Closest-hit tracer closure over the scene's world-space triangle soup
+    (the `trace()` wrapper, bridge:74-81, minus the driver)."""
+
+    def trace(origins, directions, t_min, t_max) -> HitRecord:
+        return intersect_brute_force(
+            origins, directions,
+            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+            scene.tri_geometry, scene.tri_primitive,
+            t_min, t_max, chunk=chunk)
+
+    return trace
+
+
+def render_reference(
+    scene: Scene,
+    g_const: GConst,
+    width: int,
+    height: int,
+    max_bounces: int = MAX_BOUNCES,
+    max_samples: int = MAX_SAMPLES,
+    trace_fn: TraceFn | None = None,
+    textures_enabled: bool | None = None,
+) -> jax.Array:
+    """Render the reference image; returns linear radiance [H, W, 3]
+    (the Diffuse buffer the post-process pass reads in refrence mode,
+    post_processing.comp:156-157)."""
+    if trace_fn is None:
+        trace_fn = make_brute_force_tracer(scene)
+    if textures_enabled is None:
+        textures_enabled = bool(g_const.textures)
+    environment = g_const.environment
+
+    px, py = raysmod.pixel_grid(width, height)
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    n = px.shape[0]
+
+    # RAB_InitRandomSampler(pixel, pass=1) -> frame + 13 (bridge:378-381;
+    # refrence.rgen:21 passes frameIndex=1 meaning pass=1)
+    rng_state = rtrng.init_random_sampler(
+        px.astype(jnp.uint32), py.astype(jnp.uint32),
+        g_const.frame + jnp.uint32(13))
+
+    primary = raysmod.setup_primary_ray(px, py, g_const.view)
+
+    def sample_body(_, carry):
+        radiance, rng_state = carry
+        throughput = jnp.ones((n, 3), jnp.float32)
+        active = jnp.ones((n,), bool)
+        origin = primary.origin
+        direction = primary.direction
+        t_min = jnp.full((n,), 0.001, jnp.float32)  # refrence.rgen:27
+        t_max = jnp.full((n,), BACKGROUND_DEPTH, jnp.float32)
+
+        def bounce_body(_, bcarry):
+            radiance, throughput, active, origin, direction, rng_state = bcarry
+            hit = trace_fn(origin, direction, t_min, t_max)
+            surface, emission = surface_from_hit(
+                scene, origin, direction, hit,
+                textures_enabled=textures_enabled)
+
+            missed = hit.missed
+            env = get_environment_radiance(scene, direction, environment)
+            # miss: add env once then terminate (refrence.rgen:32-36)
+            radiance = radiance + jnp.where(
+                (active & missed)[..., None], throughput * env, 0.0)
+            # hit: add emission, attenuate (refrence.rgen:38-39)
+            radiance = radiance + jnp.where(
+                (active & ~missed)[..., None], throughput * emission, 0.0)
+            throughput = jnp.where(
+                (active & ~missed)[..., None],
+                throughput * surface.diffuse_albedo, throughput)
+
+            # next bounce dir; only active hit lanes consume RNG draws
+            new_dir, _, advanced = get_surface_brdf_sample(surface, rng_state)
+            take = active & ~missed
+            rng_state = rtrng.RngState(
+                seed=rng_state.seed,
+                index=jnp.where(take, advanced.index, rng_state.index))
+            direction = jnp.where(take[..., None], new_dir, direction)
+            origin = jnp.where(take[..., None], surface.world_pos, origin)
+            active = take
+            return radiance, throughput, active, origin, direction, rng_state
+
+        radiance, _, _, _, _, rng_state = jax.lax.fori_loop(
+            0, max_bounces, bounce_body,
+            (radiance, throughput, active, origin, direction, rng_state))
+        return radiance, rng_state
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    radiance, _ = jax.lax.fori_loop(
+        0, max_samples, sample_body, (radiance, rng_state))
+
+    return (radiance / max_samples).reshape(height, width, 3)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def render_reference_jit(scene: Scene, g_const: GConst, width: int,
+                         height: int, max_bounces: int = MAX_BOUNCES,
+                         max_samples: int = MAX_SAMPLES) -> jax.Array:
+    return render_reference(scene, g_const, width, height,
+                            max_bounces, max_samples)

@@ -1,0 +1,337 @@
+"""Device scene: SoA jnp arrays + geometry table + material fetch.
+
+TPU-native equivalent of the reference's GPU scene build (src/model.rs:185-476)
+and geometry/material fetch (src/shaders/Hit.glsl):
+
+- vertex/index soup uploaded as SoA arrays (model.rs:357-373);
+- a GeometryInfo record per node {transform, base_color, texture index,
+  metallic, index/vertex offset, emission, roughness} (model.rs:12-23,414-426);
+- instead of a driver BLAS, triangles are pre-transformed to world space into
+  tri_v0/v1/v2 arrays (the BLAS build consumed the same per-node transforms,
+  model.rs:193-219, 379-459) which feed LBVH construction / intersection;
+- emissive-triangle count == `lights` (model.rs:399-412);
+- textures decoded sRGB->linear and stacked zero-padded to the max extent
+  (the bindless texture array, RtxdiApplicationBridge.glsl:60).
+
+Material-fetch quirks preserved behind flags (SURVEY.md §7): roughness forced
+to 1.0 and emission scaled x12 (Hit.glsl:40-41); normals transformed by the
+plain node matrix, not its inverse transpose (Hit.glsl:27).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer2_tpu.scene.gltf import CpuModel
+from raytracer2_tpu.utils.brdf import normalize as v_normalize
+
+# Reference quirks (Hit.glsl:40-41) — default on for image parity.
+ROUGHNESS_OVERRIDE: float | None = 1.0
+EMISSION_SCALE: float = 12.0
+
+
+class GeometryTable(NamedTuple):
+    """Per-node geometry records (ref: model.rs:12-23)."""
+
+    transform: jax.Array  # [G, 4, 4]
+    base_color: jax.Array  # [G, 4]
+    base_color_texture_index: jax.Array  # [G] int32 (-1 = none)
+    metallic_factor: jax.Array  # [G]
+    index_offset: jax.Array  # [G] uint32
+    vertex_offset: jax.Array  # [G] uint32
+    emission: jax.Array  # [G, 4]
+    roughness: jax.Array  # [G]
+
+
+class Scene(NamedTuple):
+    """Full device scene. All leaves are jnp arrays (replicated per chip)."""
+
+    # vertex soup (ref: model.rs:357-373, object space)
+    positions: jax.Array  # [V, 3]
+    normals: jax.Array  # [V, 3]
+    colors: jax.Array  # [V, 4]
+    uvs: jax.Array  # [V, 2]
+    indices: jax.Array  # [I] uint32
+    geometry: GeometryTable  # [G]
+
+    # world-space triangle soup for traversal (replaces the BLAS)
+    tri_v0: jax.Array  # [T, 3]
+    tri_edge1: jax.Array  # [T, 3] v1 - v0
+    tri_edge2: jax.Array  # [T, 3] v2 - v0
+    tri_geometry: jax.Array  # [T] int32 geometry index
+    tri_primitive: jax.Array  # [T] int32 primitive id within its geometry
+
+    # stacked textures: [NT, H, W, 4] linear float32, zero-padded; sizes [NT,2]
+    textures: jax.Array
+    texture_sizes: jax.Array  # [NT, 2] int32 (w, h)
+
+    # environment map (equirect, linear RGB); [1,1,3] zeros if absent
+    skybox: jax.Array  # [h, w, 3]
+
+    # static metadata
+    num_triangles: int
+    num_geometries: int
+    num_emissive_triangles: int  # == model.lights (model.rs:399-412)
+
+
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """sRGB EOTF (Vulkan R8G8B8A8_SRGB sampling, model.rs:241)."""
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
+    """Build the device scene from a CPU model (ref: model.rs:185-476)."""
+    g = len(model.nodes)
+
+    transforms = np.stack(
+        [n.transform for n in model.nodes], axis=0) if g else np.zeros((0, 4, 4), np.float32)
+    base_colors = np.array(
+        [n.mesh.material.base_color for n in model.nodes], np.float32).reshape(g, 4)
+    tex_idx = np.array(
+        [n.mesh.material.base_color_texture_index for n in model.nodes],
+        np.int32)
+    metallic = np.array(
+        [n.mesh.material.metallic_factor for n in model.nodes], np.float32)
+    # emission w=1.0 (model.rs:405-410)
+    emission = np.array(
+        [[*n.mesh.material.emission, 1.0] for n in model.nodes],
+        np.float32).reshape(g, 4)
+    roughness = np.array(
+        [n.mesh.material.roughness for n in model.nodes], np.float32)
+    index_offsets = np.array(
+        [n.mesh.index_offset for n in model.nodes], np.uint32)
+    vertex_offsets = np.array(
+        [n.mesh.vertex_offset for n in model.nodes], np.uint32)
+    index_counts = np.array(
+        [n.mesh.index_count for n in model.nodes], np.uint32)
+
+    # lights = sum of emissive-geometry triangle counts (model.rs:399-413)
+    is_emissive = np.any(emission[:, :3] != 0.0, axis=-1)
+    num_lights = int((index_counts[is_emissive] // 3).sum())
+
+    # world-space triangle soup (BLAS equivalent)
+    tri_v0s, tri_e1s, tri_e2s, tri_geos, tri_prims = [], [], [], [], []
+    for gi, node in enumerate(model.nodes):
+        m = node.mesh
+        idx = model.indices[m.index_offset: m.index_offset + m.index_count]
+        idx = idx.reshape(-1, 3).astype(np.int64) + m.vertex_offset
+        p = model.positions[idx]  # [t, 3, 3]
+        t4 = node.transform
+        pw = p @ t4[:3, :3].T + t4[:3, 3]
+        tri_v0s.append(pw[:, 0])
+        tri_e1s.append(pw[:, 1] - pw[:, 0])
+        tri_e2s.append(pw[:, 2] - pw[:, 0])
+        n_tris = idx.shape[0]
+        tri_geos.append(np.full(n_tris, gi, np.int32))
+        tri_prims.append(np.arange(n_tris, dtype=np.int32))
+
+    def cat3(parts):
+        return (np.concatenate(parts, axis=0).astype(np.float32)
+                if parts else np.zeros((0, 3), np.float32))
+
+    tri_v0 = cat3(tri_v0s)
+    tri_e1 = cat3(tri_e1s)
+    tri_e2 = cat3(tri_e2s)
+    tri_geo = (np.concatenate(tri_geos) if tri_geos
+               else np.zeros((0,), np.int32))
+    tri_prim = (np.concatenate(tri_prims) if tri_prims
+                else np.zeros((0,), np.int32))
+
+    # textures -> linear float, stacked zero-padded (dummy 1x1 white if none,
+    # model.rs:289-355)
+    if model.images and model.textures:
+        imgs = []
+        sizes = []
+        for t in model.textures:
+            img = model.images[t.image_index].astype(np.float32) / 255.0
+            rgb = _srgb_to_linear(img[..., :3])
+            a = img[..., 3:4]
+            imgs.append(np.concatenate([rgb, a], axis=-1))
+            sizes.append((img.shape[1], img.shape[0]))
+        max_h = max(i.shape[0] for i in imgs)
+        max_w = max(i.shape[1] for i in imgs)
+        stacked = np.zeros((len(imgs), max_h, max_w, 4), np.float32)
+        for i, img in enumerate(imgs):
+            stacked[i, :img.shape[0], :img.shape[1]] = img
+        texture_sizes = np.array(sizes, np.int32)
+    else:
+        stacked = np.ones((1, 1, 1, 4), np.float32)
+        texture_sizes = np.array([[1, 1]], np.int32)
+
+    if skybox is None:
+        skybox = np.zeros((1, 1, 3), np.float32)
+
+    return Scene(
+        positions=jnp.asarray(model.positions),
+        normals=jnp.asarray(model.normals),
+        colors=jnp.asarray(model.colors),
+        uvs=jnp.asarray(model.uvs),
+        indices=jnp.asarray(model.indices, jnp.uint32),
+        geometry=GeometryTable(
+            transform=jnp.asarray(transforms),
+            base_color=jnp.asarray(base_colors),
+            base_color_texture_index=jnp.asarray(tex_idx),
+            metallic_factor=jnp.asarray(metallic),
+            index_offset=jnp.asarray(index_offsets),
+            vertex_offset=jnp.asarray(vertex_offsets),
+            emission=jnp.asarray(emission),
+            roughness=jnp.asarray(roughness),
+        ),
+        tri_v0=jnp.asarray(tri_v0),
+        tri_edge1=jnp.asarray(tri_e1),
+        tri_edge2=jnp.asarray(tri_e2),
+        tri_geometry=jnp.asarray(tri_geo),
+        tri_primitive=jnp.asarray(tri_prim),
+        textures=jnp.asarray(stacked),
+        texture_sizes=jnp.asarray(texture_sizes),
+        skybox=jnp.asarray(skybox, jnp.float32),
+        num_triangles=int(tri_v0.shape[0]),
+        num_geometries=g,
+        num_emissive_triangles=num_lights,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Texture / environment sampling
+# ---------------------------------------------------------------------------
+
+def sample_texture_bilinear(textures: jax.Array, sizes: jax.Array,
+                            tex_index: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear sample with REPEAT wrap from the stacked texture array.
+
+    textures: [NT, H, W, 4]; tex_index: [...]; uv: [..., 2] -> [..., 4].
+    Matches the default glTF sampler (repeat + linear, gltf/mod.rs:147-152).
+    """
+    ti = jnp.maximum(tex_index, 0)
+    w = sizes[ti, 0].astype(jnp.float32)
+    h = sizes[ti, 1].astype(jnp.float32)
+    # pixel-center sampling: uv*size - 0.5
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(v, n):
+        return jnp.mod(v.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+
+    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
+    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+    c00 = textures[ti, y0i, x0i]
+    c10 = textures[ti, y0i, x1i]
+    c01 = textures[ti, y1i, x0i]
+    c11 = textures[ti, y1i, x1i]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def sample_equirect(skybox: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear equirect sample, wrap in u / clamp in v
+    (SkyBox sampler, main.rs:123-129 uses clamp-to-border; we clamp-to-edge
+    which only differs on the 1-texel border)."""
+    h, w = skybox.shape[0], skybox.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    c00 = skybox[y0i, x0i]
+    c10 = skybox[y0i, x1i]
+    c01 = skybox[y1i, x0i]
+    c11 = skybox[y1i, x1i]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def get_environment_radiance(scene: Scene, direction: jax.Array,
+                             environment: int) -> jax.Array:
+    """(ref: RtxdiApplicationBridge.glsl:618-627)."""
+    if not environment:
+        return jnp.zeros(direction.shape[:-1] + (3,), direction.dtype)
+    from raytracer2_tpu.utils.brdf import direction_to_equirect_uv
+
+    return sample_equirect(scene.skybox, direction_to_equirect_uv(direction))
+
+
+# ---------------------------------------------------------------------------
+# Geometry / material fetch (ref: Hit.glsl)
+# ---------------------------------------------------------------------------
+
+class SurfaceGeometry(NamedTuple):
+    """Interpolated hit attributes (outputs of Hit.glsl:2-42)."""
+
+    normal: jax.Array  # [..., 3]
+    specular_f0: jax.Array  # [..., 3]
+    roughness: jax.Array  # [...]
+    diffuse_albedo: jax.Array  # [..., 3]
+    emission: jax.Array  # [..., 3]
+    uv: jax.Array  # [..., 2] texture coords (for debugging)
+
+
+def get_geometry_from_hit(
+    scene: Scene,
+    geometry_index: jax.Array,  # [...] int32
+    primitive_id: jax.Array,  # [...] int32
+    attribs: jax.Array,  # [..., 2] barycentric hit uv
+    textures_enabled: bool = True,
+    roughness_override: float | None = ROUGHNESS_OVERRIDE,
+    emission_scale: float = EMISSION_SCALE,
+) -> SurfaceGeometry:
+    """Vectorized port of GetGeometryFromHit (Hit.glsl:2-42).
+
+    Gathers the three vertices of the hit triangle, interpolates
+    normal/uv/color, transforms the normal by the node matrix (Hit.glsl:27 —
+    no inverse transpose, quirk preserved), samples the base-color texture,
+    and applies the reference's roughness=1.0 / emission*12 quirks.
+    """
+    gi = jnp.maximum(geometry_index, 0)
+    vertex_offset = scene.geometry.vertex_offset[gi].astype(jnp.int32)
+    index_offset = (scene.geometry.index_offset[gi].astype(jnp.int32)
+                    + 3 * primitive_id)
+
+    i0 = vertex_offset + scene.indices[index_offset].astype(jnp.int32)
+    i1 = vertex_offset + scene.indices[index_offset + 1].astype(jnp.int32)
+    i2 = vertex_offset + scene.indices[index_offset + 2].astype(jnp.int32)
+
+    b0 = (1.0 - attribs[..., 0] - attribs[..., 1])[..., None]
+    b1 = attribs[..., 0:1]
+    b2 = attribs[..., 1:2]
+
+    n = (scene.normals[i0] * b0 + scene.normals[i1] * b1
+         + scene.normals[i2] * b2)
+    n = v_normalize(n)
+    t = scene.geometry.transform[gi]  # [..., 4, 4]
+    n = v_normalize(jnp.einsum("...ij,...j->...i", t[..., :3, :3], n))
+
+    uv = scene.uvs[i0] * b0 + scene.uvs[i1] * b1 + scene.uvs[i2] * b2
+    vcol = (scene.colors[i0] * b0 + scene.colors[i1] * b1
+            + scene.colors[i2] * b2)[..., :3]
+    color = scene.geometry.base_color[gi][..., :3] * vcol
+
+    tex_index = scene.geometry.base_color_texture_index[gi]
+    if textures_enabled:
+        texel = sample_texture_bilinear(
+            scene.textures, scene.texture_sizes, tex_index, uv)[..., :3]
+        color = jnp.where((tex_index > -1)[..., None], color * texel, color)
+
+    metallic = scene.geometry.metallic_factor[gi][..., None]
+    specular_f0 = color * metallic  # mix(0, color, metallic) (Hit.glsl:39)
+    if roughness_override is not None:
+        rough = jnp.full(color.shape[:-1], roughness_override, color.dtype)
+    else:
+        rough = scene.geometry.roughness[gi]
+    emission = scene.geometry.emission[gi][..., :3] * emission_scale
+
+    return SurfaceGeometry(
+        normal=n, specular_f0=specular_f0, roughness=rough,
+        diffuse_albedo=color, emission=emission, uv=uv)
