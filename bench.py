@@ -1,0 +1,129 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Measures ray throughput (Mrays/s/chip) of the jitted reference path tracer
+over the LBVH on a Sponza-class procedural corridor scene — the
+BASELINE.md north-star metric (>= 200 Mrays/s/chip at 1080p / 8 spp).
+Every launch is width*height closest-hit rays; reference mode traces
+spp * bounces launches per frame.
+
+Usage:
+    python bench.py            # full benchmark on the available backend
+    python bench.py --smoke    # tiny/fast correctness smoke (CPU-friendly)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md)
+
+
+def run(width: int, height: int, spp: int, bounces: int, frames: int,
+        scene_kind: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.models import procedural as proc
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import create_renderer
+    from raytracer2_tpu.render.reference import render_reference
+    from raytracer2_tpu.scene import gltf
+    from raytracer2_tpu.scene.camera import default_camera
+    from raytracer2_tpu.scene.scene import build_scene
+
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "scene.glb"
+        if scene_kind == "corridor":
+            proc.write_glb(p, proc.corridor_glb(
+                segments=16, pillars_per_side=10, lat=14, lon=20))
+            cam = default_camera(window_size=(width, height),
+                                 position=(0, 4, 60), direction=(0, 0, 1))
+        else:
+            proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+            cam = default_camera(window_size=(width, height),
+                                 position=(0, 0, -12), direction=(0, 0, -1))
+        scene = build_scene(gltf.load_file(p))
+
+    renderer = create_renderer(scene, width, height, use_bvh=True)
+    g_const = default_gconst(
+        cam.planar_view_constants(),
+        renderer.scene_lights.num_local_lights, refrence_mode=1)
+
+    fn = jax.jit(lambda g: render_reference(
+        scene, g, width, height, max_bounces=bounces, max_samples=spp,
+        trace_fn=renderer.tracers.closest_hit))
+
+    # compile + warmup
+    img = fn(g_const)
+    jax.block_until_ready(img)
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = fn(g_const.replace(frame=jnp.uint32(i + 1)))
+    jax.block_until_ready(img)
+    elapsed = time.perf_counter() - t0
+
+    rays = width * height * spp * bounces * frames
+    mrays = rays / elapsed / 1e6
+    return {
+        "metric": "reference_path_tracer_mrays_per_sec_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "detail": {
+            "scene": scene_kind,
+            "triangles": scene.num_triangles,
+            "resolution": f"{width}x{height}",
+            "spp": spp,
+            "bounces": bounces,
+            "frames": frames,
+            "seconds": round(elapsed, 3),
+            "backend": jax.devices()[0].platform,
+        },
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny fast run (CPU-friendly)")
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--spp", type=int, default=None)
+    parser.add_argument("--bounces", type=int, default=None)
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--scene", default=None,
+                        choices=["corridor", "cornell"])
+    args = parser.parse_args()
+
+    if args.smoke:
+        cfg = dict(width=64, height=64, spp=1, bounces=2, frames=2,
+                   scene_kind="cornell")
+    else:
+        cfg = dict(width=512, height=512, spp=4, bounces=4, frames=3,
+                   scene_kind="corridor")
+    if args.width:
+        cfg["width"] = args.width
+    if args.height:
+        cfg["height"] = args.height
+    if args.spp:
+        cfg["spp"] = args.spp
+    if args.bounces:
+        cfg["bounces"] = args.bounces
+    if args.frames:
+        cfg["frames"] = args.frames
+    if args.scene:
+        cfg["scene_kind"] = args.scene
+
+    result = run(**cfg)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

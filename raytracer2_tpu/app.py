@@ -1,0 +1,227 @@
+"""Application driver: the main.rs equivalent as an offline/headless CLI.
+
+The reference's frame loop (src/main.rs:484-733) is a winit window + imgui
+parameter editor; the capabilities that matter — scene load, per-frame GConst
+mutation, camera fly-through, reservoir ping-pong, frame-budget telemetry —
+are reproduced here as a headless driver that renders N frames along a camera
+path and writes PNGs/metrics. Live parameter editing maps to CLI flags over
+the same GConst surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("raytracer2_tpu")
+
+FRAME_BUDGET_SECONDS = 0.016  # 16 ms budget (main.rs:653-656)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native ReSTIR path tracer (RayTracer2 rebuild)")
+    p.add_argument("scene", nargs="?", default=None,
+                   help=".glb/.gltf scene (default: procedural Cornell box)")
+    p.add_argument("--skybox", default=None, help=".exr equirect environment")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--out", default="out", help="output directory for PNGs")
+    p.add_argument("--save-every", type=int, default=1)
+    p.add_argument("--camera-pos", type=float, nargs=3, default=(0.0, 0.0, 10.0))
+    p.add_argument("--camera-dir", type=float, nargs=3, default=(0.0, 0.0, 1.0))
+    p.add_argument("--fov", type=float, default=65.0)
+    p.add_argument("--orbit", action="store_true",
+                   help="orbit the camera around the origin (fly-through)")
+    # GConst surface (the imgui GConstEditor fields, main.rs:522-627)
+    p.add_argument("--reference-mode", action="store_true")
+    p.add_argument("--enable-restir-di", type=int, default=0)
+    p.add_argument("--enable-restir-gi", type=int, default=1)
+    p.add_argument("--enable-temporal-resampling", type=int, default=0)
+    p.add_argument("--enable-spatial-resampling", type=int, default=0)
+    p.add_argument("--enable-accumulation", type=int, default=0)
+    p.add_argument("--blend-factor", type=float, default=0.1)
+    p.add_argument("--environment", type=int, default=None,
+                   help="1 to enable the environment light (auto if --skybox)")
+    p.add_argument("--textures", type=int, default=1)
+    p.add_argument("--no-bvh", action="store_true",
+                   help="brute-force intersection (oracle mode)")
+    p.add_argument("--profile", default=None,
+                   help="write a jax profiler trace to this directory")
+    p.add_argument("--checkpoint", default=None,
+                   help="save final frame state to this .npz for resume")
+    p.add_argument("--resume", default=None,
+                   help="load frame state from a .npz checkpoint")
+    return p
+
+
+def load_scene(args):
+    from raytracer2_tpu.scene import gltf
+    from raytracer2_tpu.scene.scene import build_scene
+
+    skybox = None
+    if args.skybox:
+        from raytracer2_tpu.scene.exr import load_exr
+
+        skybox = load_exr(args.skybox)
+        logger.info("skybox %s: %sx%s", args.skybox,
+                    skybox.shape[1], skybox.shape[0])
+
+    if args.scene:
+        model = gltf.load_file(args.scene)
+        logger.info("model loaded: %d vertices, %d indices, %d nodes",
+                    model.positions.shape[0], model.indices.shape[0],
+                    len(model.nodes))
+    else:
+        import tempfile
+
+        from raytracer2_tpu.models import procedural as proc
+
+        with tempfile.TemporaryDirectory() as d:
+            p = Path(d) / "cornell.glb"
+            proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+            model = gltf.load_file(p)
+        logger.info("procedural Cornell box loaded")
+    return build_scene(model, skybox=skybox)
+
+
+def save_checkpoint(path: str, state, frame: int) -> None:
+    """Serialize the frame-state pytree (reservoirs, G-buffers, lighting) —
+    the cross-frame persistent state the reference can't save (SURVEY.md §5)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez_compressed(
+        path, frame=frame, treedef=str(treedef),
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)})
+
+
+def load_checkpoint(path: str, template):
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, restored), int(data["frame"])
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import (
+        create_renderer, init_frame_state, render_frame)
+    from raytracer2_tpu.render.postprocess import to_srgb_u8
+    from raytracer2_tpu.scene.camera import default_camera
+
+    scene = load_scene(args)
+    logger.info("scene: %d triangles, %d geometries, %d emissive",
+                scene.num_triangles, scene.num_geometries,
+                scene.num_emissive_triangles)
+
+    renderer = create_renderer(scene, args.width, args.height,
+                               use_bvh=not args.no_bvh)
+    camera = default_camera(
+        window_size=(args.width, args.height),
+        position=tuple(args.camera_pos), direction=tuple(args.camera_dir),
+        fov=args.fov)
+
+    environment = args.environment
+    if environment is None:
+        environment = 1 if args.skybox else 0
+
+    g_const = default_gconst(
+        camera.planar_view_constants(),
+        renderer.scene_lights.num_local_lights,
+        refrence_mode=1 if args.reference_mode else 0,
+        enable_restir_di=args.enable_restir_di,
+        enable_restir_gi=args.enable_restir_gi,
+        enable_temporal_resampling=args.enable_temporal_resampling,
+        enable_spatial_resampling=args.enable_spatial_resampling,
+        enable_accumulation=args.enable_accumulation,
+        textures=args.textures,
+        environment=environment,
+        blend_factor=jnp.float32(args.blend_factor),
+    )
+
+    state = init_frame_state(args.width, args.height)
+    start_frame = 0
+    if args.resume:
+        state, start_frame = load_checkpoint(args.resume, state)
+        logger.info("resumed from %s at frame %d", args.resume, start_frame)
+
+    step = jax.jit(lambda g, s: render_frame(renderer, g, s))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    prev_view = g_const.view
+    frame_times = []
+    for f in range(start_frame, start_frame + args.frames):
+        if args.orbit:
+            angle = 2.0 * np.pi * (f / max(args.frames, 1)) * 0.25
+            r = float(np.linalg.norm(np.asarray(args.camera_pos)))
+            pos = (r * np.sin(angle), args.camera_pos[1],
+                   -r * np.cos(angle))
+            camera = default_camera(
+                window_size=(args.width, args.height), position=pos,
+                direction=tuple(-np.asarray(pos) / max(r, 1e-6)),
+                fov=args.fov)
+        view = camera.planar_view_constants()
+        g = g_const.replace(view=view, prev_view=prev_view,
+                            frame=jnp.uint32(f))
+        prev_view = view
+
+        t0 = time.perf_counter()
+        state, image = step(g, state)
+        jax.block_until_ready(image)
+        dt = time.perf_counter() - t0
+        frame_times.append(dt)
+        if dt > FRAME_BUDGET_SECONDS and f > start_frame:
+            logger.error("Over Frame Budget!!!! %.1f ms", dt * 1000)
+        logger.info("frame %d: %.1f ms (%.1f fps)", f, dt * 1000,
+                    1.0 / max(dt, 1e-9))
+
+        if (f - start_frame) % args.save_every == 0:
+            png = np.asarray(to_srgb_u8(image))
+            Image.fromarray(png, "RGB").save(out_dir / f"frame_{f:04d}.png")
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state,
+                        start_frame + args.frames)
+        logger.info("checkpoint written to %s", args.checkpoint)
+
+    steady = frame_times[1:] or frame_times
+    metrics = {
+        "frames": len(frame_times),
+        "p50_ms": round(float(np.percentile(steady, 50)) * 1000, 2),
+        "mean_ms": round(float(np.mean(steady)) * 1000, 2),
+        "fps": round(1.0 / max(float(np.percentile(steady, 50)), 1e-9), 2),
+    }
+    logger.info("metrics: %s", json.dumps(metrics))
+    (out_dir / "metrics.json").write_text(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Multi-chip execution: pixel-space sharding over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.4); this module is the
+TPU-native scaling story it lacks: the image/ray space is the batch
+dimension, sharded by pixel ROWS over a 1-D mesh while scene arrays (BVH,
+triangles, lights, textures) are replicated on every chip. Ray passes are
+embarrassingly parallel; the bounded-stencil gather passes (GI spatial
+radius 3 px, DI radius 32 px, temporal reprojection) compile under GSPMD,
+which inserts the boundary collectives over ICI automatically — the explicit
+ppermute halo-exchange kernel is the planned optimization for when profiles
+show the collectives dominate.
+
+Usage:
+    mesh = make_mesh()                       # all local devices
+    step = make_sharded_render_fn(renderer, mesh)
+    state = shard_frame_state(state, mesh)
+    state, image = step(g_const, state)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROW_AXIS = "rows"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over pixel rows. Multi-axis (rows x cols) meshes are a
+    natural extension once per-axis halos pay off."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (ROW_AXIS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (image rows / flattened pixel-major batches)."""
+    return NamedSharding(mesh, P(ROW_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _image_leaf_sharding(leaf: jax.Array, mesh: Mesh, height: int):
+    """Row-shard anything whose leading dim is the image height; replicate
+    everything else (scene tables, scalars, small params)."""
+    if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == height:
+        return row_sharding(mesh)
+    return replicated(mesh)
+
+
+def shard_frame_state(state, mesh: Mesh):
+    """Place a FrameState pytree: [H, ...] leaves row-sharded."""
+    height = state.gbuffer.depth.shape[0]
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, _image_leaf_sharding(leaf, mesh, height)), state)
+
+
+def make_sharded_render_fn(renderer, mesh: Mesh) -> Callable:
+    """jit the frame graph with row-sharded frame state in/out; scene and
+    light resources are closed over (replicated constants folded into the
+    executable)."""
+    from raytracer2_tpu.render.frame import render_frame
+
+    height = renderer.height
+
+    def step(g_const, state):
+        state = jax.tree_util.tree_map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf, _image_leaf_sharding(leaf, mesh, height)), state)
+        new_state, image = render_frame(renderer, g_const, state)
+        image = jax.lax.with_sharding_constraint(image, row_sharding(mesh))
+        return new_state, image
+
+    return jax.jit(step)
+
+
+def psum_image_metric(values: jax.Array, mesh: Mesh) -> jax.Array:
+    """Whole-image reductions (RMSE / accumulation stats) — the only
+    all-reduce the renderer needs (SURVEY.md §2.4). Under jit+GSPMD a plain
+    jnp.sum lowers to the psum; this helper exists for explicit shard_map
+    code paths."""
+    return jnp.sum(values)

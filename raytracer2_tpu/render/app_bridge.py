@@ -1,0 +1,206 @@
+"""Concrete bridge construction: wire scene + traversal + G-buffers into
+the RAB closure bundle the restir library consumes.
+
+This is the renderer's implementation of the contract in restir/bridge.py,
+mirroring lighting_passes/RtxdiApplicationBridge.glsl. Two traversal backends
+are supported: the LBVH (default) and brute force (oracle/testing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from raytracer2_tpu.lights.polymorphic import LightInfo, calc_sample
+from raytracer2_tpu.ops.bvh import BVH, build_lbvh
+from raytracer2_tpu.ops import traverse
+from raytracer2_tpu.ops.intersect import (
+    INVALID_INDEX, HitRecord, intersect_brute_force, occluded_brute_force)
+from raytracer2_tpu.params import RTXDI_INVALID_LIGHT_INDEX, GConst
+from raytracer2_tpu.render.gbuffer import GBuffer, surface_from_gbuffer
+from raytracer2_tpu.render.surface import (
+    Surface, are_materials_similar, evaluate_brdf, get_surface_brdf_pdf,
+    get_surface_brdf_sample)
+from raytracer2_tpu.restir.bridge import Bridge
+from raytracer2_tpu.scene.scene import Scene
+from raytracer2_tpu.utils import brdf as brdfm
+from raytracer2_tpu.utils.packing import linear_to_zcurve
+
+
+@dataclasses.dataclass(frozen=True)
+class Tracers:
+    """Closest-hit + any-hit query closures over a scene."""
+
+    closest_hit: Callable  # (o, d, tmin, tmax) -> HitRecord
+    occluded: Callable  # (o, d, tmin, tmax) -> blocked mask
+
+
+def make_tracers(scene: Scene, bvh: BVH | None = None,
+                 use_bvh: bool = True) -> Tracers:
+    if use_bvh and scene.num_triangles >= 2:
+        if bvh is None:
+            bvh = build_lbvh(scene.tri_v0, scene.tri_edge1, scene.tri_edge2)
+
+        def closest(o, d, tmin, tmax):
+            return traverse.closest_hit(
+                bvh, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+                scene.tri_geometry, scene.tri_primitive, o, d, tmin, tmax)
+
+        def occl(o, d, tmin, tmax):
+            return traverse.occluded(
+                bvh, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+                o, d, tmin, tmax)
+    else:
+        def closest(o, d, tmin, tmax):
+            return intersect_brute_force(
+                o, d, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+                scene.tri_geometry, scene.tri_primitive, tmin, tmax)
+
+        def occl(o, d, tmin, tmax):
+            return occluded_brute_force(
+                o, d, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+                tmin, tmax)
+
+    return Tracers(closest_hit=closest, occluded=occl)
+
+
+def get_light_sample_target_pdf(light_sample, surface: Surface) -> jax.Array:
+    """RAB_GetLightSampleTargetPdfForSurface (bridge:478-500)."""
+    live = light_sample.solid_angle_pdf > 0.0
+    l = brdfm.normalize(light_sample.position - surface.world_pos)
+    live &= brdfm.dot3(l, surface.geo_normal) > 0.0
+
+    d = brdfm.lambert(surface.normal, -l)
+    s = brdfm.ggx_times_ndotl(
+        surface.view_dir, l, surface.normal,
+        jnp.maximum(surface.roughness, brdfm.K_MIN_ROUGHNESS),
+        surface.specular_f0)
+    s = jnp.where((surface.roughness == 0.0)[..., None], 0.0, s)
+    reflected = light_sample.radiance * (
+        d[..., None] * surface.diffuse_albedo + s)
+    pdf = brdfm.luminance(reflected) / jnp.maximum(
+        light_sample.solid_angle_pdf, 1e-30)
+    return jnp.where(live, pdf, 0.0)
+
+
+def get_gi_sample_target_pdf(sample_position, sample_radiance,
+                             surface: Surface) -> jax.Array:
+    """RAB_GetGISampleTargetPdfForSurface (bridge:687-694)."""
+    b = evaluate_brdf(surface, sample_position)
+    reflected = sample_radiance * (
+        b.demodulated_diffuse[..., None] * surface.diffuse_albedo + b.specular)
+    return brdfm.luminance_rec709(reflected)
+
+
+def make_bridge(
+    scene: Scene,
+    tracers: Tracers,
+    gbuffer: GBuffer,
+    prev_gbuffer: GBuffer,
+    g_const: GConst,
+    lights: LightInfo,
+    geometry_to_light: jax.Array,  # [G] u32, sentinel INVALID
+    local_pdf_mips: tuple[jax.Array, ...] | None,
+    env_pdf_mips: tuple[jax.Array, ...] | None,
+    neighbor_offsets: jax.Array,
+    width: int,
+    height: int,
+) -> Bridge:
+    """Assemble the full RAB closure bundle for one frame."""
+    view = g_const.view
+    prev_view = g_const.prev_view
+    environment = g_const.environment
+
+    def get_gbuffer_surface(px, py, previous_frame):
+        if previous_frame:
+            return surface_from_gbuffer(prev_gbuffer, prev_view, px, py,
+                                        width, height)
+        return surface_from_gbuffer(gbuffer, view, px, py, width, height)
+
+    def get_conservative_visibility(surface: Surface, sample_position):
+        from raytracer2_tpu.render.shading import setup_visibility_ray
+
+        o, d, tmin, tmax = setup_visibility_ray(surface, sample_position)
+        batch = tmin.shape
+        blocked = tracers.occluded(o.reshape(-1, 3), d.reshape(-1, 3),
+                                   tmin.reshape(-1), tmax.reshape(-1))
+        return ~blocked.reshape(batch)
+
+    def get_temporal_conservative_visibility(cur_surface, prev_surface,
+                                             sample_position):
+        # uses the previous surface + current AS (bridge:242-245)
+        return get_conservative_visibility(prev_surface, sample_position)
+
+    def sample_polymorphic_light(light_info, surface, uv):
+        return calc_sample(light_info, uv, surface.world_pos,
+                           skybox=scene.skybox if environment else None)
+
+    def load_light_info(index, previous_frame):
+        i = jnp.maximum(index.astype(jnp.int32), 0)
+        return LightInfo(*(leaf[i] for leaf in lights))
+
+    def trace_ray_for_local_light(origins, directions, t_min, t_max):
+        """(bridge:639-669): closest-hit, then geometry -> light-table index."""
+        batch = t_min.shape
+        hit = tracers.closest_hit(
+            origins.reshape(-1, 3), directions.reshape(-1, 3),
+            jnp.broadcast_to(t_min, batch).reshape(-1),
+            jnp.broadcast_to(t_max, batch).reshape(-1))
+        hit = jax.tree_util.tree_map(lambda a: a.reshape(batch), hit)
+        hit_anything = ~hit.missed
+        geom = jnp.where(hit_anything, hit.geometry_index, 0).astype(jnp.int32)
+        base = geometry_to_light[geom]
+        light_index = jnp.where(
+            (base != jnp.uint32(RTXDI_INVALID_LIGHT_INDEX)) & hit_anything,
+            base + hit.primitive_id, jnp.uint32(RTXDI_INVALID_LIGHT_INDEX))
+        bary = brdfm.hit_uv_to_barycentric(
+            jnp.stack([hit.u, hit.v], axis=-1))
+        rand_xy = jnp.where(
+            (light_index != jnp.uint32(RTXDI_INVALID_LIGHT_INDEX))[..., None],
+            brdfm.random_from_barycentric(bary), 0.0)
+        return hit_anything, light_index, rand_xy
+
+    def evaluate_local_light_source_pdf(light_index):
+        """(bridge:420-434)."""
+        if local_pdf_mips is None:
+            return jnp.ones(light_index.shape, jnp.float32)
+        from raytracer2_tpu.lights.pdf_texture import evaluate_pdf_texture
+
+        x, y = linear_to_zcurve(light_index)
+        return evaluate_pdf_texture(local_pdf_mips, x.astype(jnp.int32),
+                                    y.astype(jnp.int32))
+
+    def evaluate_environment_map_sampling_pdf(direction):
+        """(bridge:397-418)."""
+        if (env_pdf_mips is None or
+                g_const.restir_di.initial_sampling_params
+                .environment_map_importance_sampling == 0):
+            return jnp.ones(direction.shape[:-1], jnp.float32)
+        from raytracer2_tpu.lights.pdf_texture import evaluate_pdf_texture
+
+        uv = brdfm.direction_to_equirect_uv(direction)
+        h, w = env_pdf_mips[0].shape
+        x = (uv[..., 0] * w).astype(jnp.int32)
+        y = (uv[..., 1] * h).astype(jnp.int32)
+        return evaluate_pdf_texture(env_pdf_mips, x, y)
+
+    return Bridge(
+        get_gbuffer_surface=get_gbuffer_surface,
+        get_light_sample_target_pdf=get_light_sample_target_pdf,
+        get_gi_sample_target_pdf=get_gi_sample_target_pdf,
+        get_conservative_visibility=get_conservative_visibility,
+        get_temporal_conservative_visibility=get_temporal_conservative_visibility,
+        are_materials_similar=are_materials_similar,
+        sample_polymorphic_light=sample_polymorphic_light,
+        load_light_info=load_light_info,
+        get_surface_brdf_sample=get_surface_brdf_sample,
+        get_surface_brdf_pdf=get_surface_brdf_pdf,
+        trace_ray_for_local_light=trace_ray_for_local_light,
+        evaluate_local_light_source_pdf=evaluate_local_light_source_pdf,
+        evaluate_environment_map_sampling_pdf=evaluate_environment_map_sampling_pdf,
+        neighbor_offsets=neighbor_offsets,
+        viewport=(width, height),
+    )

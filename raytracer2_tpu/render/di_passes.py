@@ -1,0 +1,90 @@
+"""ReSTIR DI fused sampling + shading pass.
+
+Port of lighting_passes/di_fused_resampling.rgen:16-93: initial candidate
+sampling via RTXDI_SampleLightsForSurface, optional initial-visibility kill,
+then shading. QUIRK preserved: the actual spatio-temporal resampling call is
+commented out in the reference (di_fused_resampling.rgen:69-70), so the
+reservoir shipped to shading is the initial-candidate one; the library's DI
+temporal/spatial functions (restir/di_resampling.py) exist for capability
+parity and can be toggled in.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracer2_tpu.params import GConst
+from raytracer2_tpu.render import rays as raysmod
+from raytracer2_tpu.render.shading import (
+    shade_surface_with_light_sample, store_shading_output)
+from raytracer2_tpu.restir import di_reservoir as dires
+from raytracer2_tpu.restir.bridge import Bridge
+from raytracer2_tpu.restir.initial_sampling import (
+    LightSamplingContext, init_sample_parameters, sample_lights_for_surface)
+from raytracer2_tpu.utils import brdf as brdfm
+from raytracer2_tpu.utils import rng as rtrng
+
+
+def di_fused_resampling_pass(
+    g_const: GConst,
+    bridge: Bridge,
+    light_ctx: LightSamplingContext,
+    diffuse_img: jax.Array,
+    specular_img: jax.Array,
+    width: int,
+    height: int,
+) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
+    """Returns (reservoirs [H, W] for the shading-input slot, diffuse,
+    specular)."""
+    px, py = raysmod.pixel_grid(width, height)
+
+    rng = rtrng.init_random_sampler(
+        px.astype(jnp.uint32), py.astype(jnp.uint32),
+        g_const.frame + jnp.uint32(13))
+    tile_rng = rtrng.init_random_sampler(
+        (px // 16).astype(jnp.uint32), (py // 16).astype(jnp.uint32),
+        g_const.frame + jnp.uint32(13))
+
+    surface = bridge.get_gbuffer_surface(px, py, False)
+
+    isp = g_const.restir_di.initial_sampling_params
+    sample_params = init_sample_parameters(
+        isp.num_primary_local_light_samples,
+        isp.num_primary_infinite_light_samples,
+        isp.num_primary_environment_samples,
+        isp.num_primary_brdf_samples,
+        isp.brdf_cutoff, 0.001)
+
+    reservoir, light_sample, rng, tile_rng = sample_lights_for_surface(
+        rng, tile_rng, surface, sample_params, light_ctx, bridge)
+
+    if isp.enable_initial_visibility:
+        # initial visibility kill (di_fused_resampling.rgen:40-46)
+        visible = bridge.get_conservative_visibility(
+            surface, light_sample.position)
+        need = dires.is_valid(reservoir) & ~visible
+        reservoir = dires.store_visibility(
+            reservoir, jnp.zeros(light_sample.position.shape, jnp.float32),
+            True, active=need)
+
+    # spatio-temporal resampling: commented out in the reference
+    # (di_fused_resampling.rgen:69-70) — quirk preserved.
+
+    valid = dires.is_valid(reservoir)
+    reservoir_shaded, diffuse, specular, _ = shade_surface_with_light_sample(
+        reservoir, surface, light_sample,
+        g_const.restir_di.shading_params,
+        g_const.restir_di.temporal_resampling_params,
+        bridge, enable_visibility_reuse=True)
+    diffuse = jnp.where(valid[..., None], diffuse, 0.0)
+    specular = jnp.where(valid[..., None],
+                         brdfm.demodulate_specular(
+                             surface.specular_f0, specular), 0.0)
+
+    diffuse_img, specular_img = store_shading_output(
+        diffuse_img, specular_img, diffuse, specular,
+        is_first_pass=(g_const.enable_restir_di == 1),
+        enable_accumulation=g_const.enable_accumulation,
+        blend_factor=g_const.blend_factor)
+    return reservoir_shaded, diffuse_img, specular_img

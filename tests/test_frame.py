@@ -1,0 +1,108 @@
+"""Integration tests: the full ReSTIR frame graph + multi-chip sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer2_tpu.models import procedural as proc
+from raytracer2_tpu.params import default_gconst
+from raytracer2_tpu.render.frame import (
+    create_renderer, init_frame_state, render_frame)
+from raytracer2_tpu.scene import gltf
+from raytracer2_tpu.scene.camera import default_camera
+from raytracer2_tpu.scene.scene import build_scene
+
+W = H = 24
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    p = tmp_path_factory.mktemp("f") / "c.glb"
+    proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+    scene = build_scene(gltf.load_file(p))
+    renderer = create_renderer(scene, W, H)
+    cam = default_camera(window_size=(W, H), position=(0, 0, -12),
+                         direction=(0, 0, -1))
+    g = default_gconst(cam.planar_view_constants(),
+                       renderer.scene_lights.num_local_lights)
+    return renderer, g
+
+
+def test_gi_frame_finite(setup):
+    renderer, g = setup
+    state = init_frame_state(W, H)
+    state, img = render_frame(renderer, g, state)
+    img = np.asarray(img)
+    assert img.shape == (H, W, 3)
+    assert np.all(np.isfinite(img))
+    assert np.all(img >= 0) and np.all(img <= 1.0)
+    # G-buffer populated: most depths are hits
+    depth = np.asarray(state.gbuffer.depth)
+    assert (depth < 99999).mean() > 0.8
+
+
+def test_di_gi_temporal_spatial_sequence(setup):
+    renderer, g = setup
+    g = g.replace(enable_restir_di=1, enable_temporal_resampling=1,
+                  enable_spatial_resampling=1)
+    state = init_frame_state(W, H)
+    means = []
+    for f in range(3):
+        state, img = render_frame(renderer, g.replace(frame=jnp.uint32(f)),
+                                  state)
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        means.append(img.mean())
+    # lit scene: nonzero output every frame
+    assert all(m > 0.001 for m in means)
+    # GI reservoirs have survivors
+    m = np.asarray(state.gi_reservoirs[0].m)
+    assert (m > 0).mean() > 0.3
+
+
+def test_reference_mode_through_frame_graph(setup):
+    renderer, g = setup
+    g = g.replace(refrence_mode=1)
+    state = init_frame_state(W, H)
+    state, img = render_frame(renderer, g, state)
+    img = np.asarray(img)
+    assert np.all(np.isfinite(img)) and img.max() > 0.05
+
+
+def test_accumulation_converges(setup):
+    renderer, g = setup
+    g = g.replace(refrence_mode=1, enable_accumulation=1,
+                  blend_factor=jnp.float32(0.5))
+    state = init_frame_state(W, H)
+    prev = None
+    deltas = []
+    for f in range(4):
+        state, img = render_frame(renderer, g.replace(frame=jnp.uint32(f)),
+                                  state)
+        img = np.asarray(img)
+        if prev is not None:
+            deltas.append(np.abs(img - prev).mean())
+        prev = img
+    # successive frames converge under accumulation
+    assert deltas[-1] <= deltas[0] + 1e-4
+
+
+def test_jit_compiles(setup):
+    renderer, g = setup
+    state = init_frame_state(W, H)
+    step = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+    state2, img = step(g, state)
+    jax.block_until_ready(img)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # second call hits the cache with a new frame index (dynamic leaf)
+    state3, img2 = step(g.replace(frame=jnp.uint32(5)), state2)
+    assert not np.array_equal(np.asarray(img), np.asarray(img2))
+
+
+def test_multichip_dryrun():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the forced multi-device CPU mesh")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(min(8, len(jax.devices())))
