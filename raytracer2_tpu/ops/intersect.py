@@ -19,8 +19,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID_INDEX = jnp.uint32(0xFFFFFFFF)
+# plain numpy so importing this module never initializes a JAX backend
+INVALID_INDEX = np.uint32(0xFFFFFFFF)
 
 
 class HitRecord(NamedTuple):

@@ -39,8 +39,38 @@ class Tracers:
 
 
 def make_tracers(scene: Scene, bvh: BVH | None = None,
-                 use_bvh: bool = True) -> Tracers:
-    if use_bvh and scene.num_triangles >= 2:
+                 use_bvh: bool = True, backend: str = "bundle",
+                 cluster_size: int = 64, sort_secondary: bool = True
+                 ) -> Tracers:
+    """Traversal backends:
+    - "bundle" (default): MXU bundle tracer (ops/traverse_bundle.py)
+    - "lbvh": per-ray stack traversal over the device LBVH
+    - "brute": all-pairs oracle
+    """
+    if not use_bvh or scene.num_triangles < 2:
+        backend = "brute"
+
+    if backend == "bundle":
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops import traverse_bundle as tbm
+
+        clusters = build_clusters(
+            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+            cluster_size=cluster_size)
+        scene_min = jnp.min(clusters.aabb_min, axis=0)
+        scene_max = jnp.max(clusters.aabb_max, axis=0)
+
+        def closest(o, d, tmin, tmax):
+            return tbm.closest_hit_bundle(
+                clusters, scene.tri_geometry, scene.tri_primitive,
+                o, d, tmin, tmax, scene_min, scene_max,
+                sort_rays=sort_secondary)
+
+        def occl(o, d, tmin, tmax):
+            return tbm.occluded_bundle(
+                clusters, o, d, tmin, tmax, scene_min, scene_max,
+                sort_rays=sort_secondary)
+    elif backend == "lbvh":
         if bvh is None:
             bvh = build_lbvh(scene.tri_v0, scene.tri_edge1, scene.tri_edge2)
 

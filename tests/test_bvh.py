@@ -110,3 +110,106 @@ def test_rays_through_empty_space_miss(sphere_bvh, sphere_scene):
         sphere_scene.tri_edge2, sphere_scene.tri_geometry,
         sphere_scene.tri_primitive, origins, dirs, 1e-3, 1e5)
     assert np.all(np.asarray(got.missed))
+
+
+class TestBundleTracer:
+    """MXU bundle tracer parity (ops/traverse_bundle.py) vs brute force."""
+
+    def _clusters(self, scene, size=16):
+        from raytracer2_tpu.ops.cluster import build_clusters
+
+        return build_clusters(scene.tri_v0, scene.tri_edge1,
+                              scene.tri_edge2, cluster_size=size)
+
+    def test_closest_hit_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_bundle import closest_hit_bundle
+
+        clusters = self._clusters(sphere_scene)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=11, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        for sort in (False, True):
+            got = closest_hit_bundle(
+                clusters, sphere_scene.tri_geometry,
+                sphere_scene.tri_primitive, origins, dirs, 1e-3,
+                jnp.full((512,), 1e5), smin, smax, sort_rays=sort)
+            np.testing.assert_array_equal(np.asarray(got.missed),
+                                          np.asarray(ref.missed))
+            m = ~np.asarray(ref.missed)
+            np.testing.assert_allclose(np.asarray(got.t)[m],
+                                       np.asarray(ref.t)[m], rtol=1e-3)
+
+    def test_occlusion_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_bundle import occluded_bundle
+
+        clusters = self._clusters(sphere_scene)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=13, spread=5.0)
+        ref = occluded_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, 1e-3, 20.0)
+        got = occluded_bundle(clusters, origins, dirs, 1e-3,
+                              jnp.full((512,), 20.0), smin, smax)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_per_ray_tmax_respected(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_bundle import closest_hit_bundle
+
+        clusters = self._clusters(sphere_scene)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(256, seed=17, spread=5.0)
+        far = closest_hit_bundle(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((256,), 1e5), smin, smax)
+        # clamp tmax below each found hit: all must miss
+        short_tmax = jnp.where(far.missed, 1e5, far.t * 0.5)
+        near = closest_hit_bundle(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, short_tmax, smin, smax)
+        hitm = ~np.asarray(far.missed)
+        assert np.all(np.asarray(near.missed)[hitm])
+
+
+class TestNativeSAH:
+    def test_native_available_and_valid(self, sphere_scene):
+        from raytracer2_tpu.ops import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        v0 = np.asarray(sphere_scene.tri_v0)
+        e1 = np.asarray(sphere_scene.tri_edge1)
+        e2 = np.asarray(sphere_scene.tri_edge2)
+        order, offsets, counts = native.build_sah_clusters(v0, e1, e2, 16)
+        n = v0.shape[0]
+        # permutation covers every triangle exactly once
+        assert sorted(order.tolist()) == list(range(n))
+        assert counts.sum() == n
+        assert np.all(counts <= 16) and np.all(counts > 0)
+        # ranges tile [0, n)
+        assert offsets[0] == 0
+        np.testing.assert_array_equal(offsets[1:], offsets[:-1] + counts[:-1])
+
+    def test_sah_clusters_tighter_than_morton(self, sphere_scene):
+        from raytracer2_tpu.ops import native
+        from raytracer2_tpu.ops.cluster import build_clusters
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        sah = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                             sphere_scene.tri_edge2, 16, method="sah")
+        mor = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                             sphere_scene.tri_edge2, 16, method="morton")
+
+        def total_area(c):
+            ext = np.maximum(np.asarray(c.aabb_max) - np.asarray(c.aabb_min), 0)
+            ext = np.where(ext > 1e20, 0, ext)  # skip empty sentinels
+            return (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                    + ext[:, 2] * ext[:, 0]).sum()
+
+        assert total_area(sah) <= total_area(mor) * 1.05
