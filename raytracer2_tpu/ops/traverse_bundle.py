@@ -36,7 +36,7 @@ from raytracer2_tpu.ops.cluster import (
     Clusters, bundle_cluster_overlap, intersect_cluster_block)
 from raytracer2_tpu.ops.intersect import INVALID_INDEX, HitRecord
 
-BUNDLE_SIZE = 64
+BUNDLE_SIZE = 128
 MAX_CANDIDATES = 192  # unused by the exact walk; kept for API compat
 RAY_BATCH = 65536  # rays per dispatch slice (bounds all-pairs intermediates)
 
@@ -132,11 +132,12 @@ class BundleTraceResult(NamedTuple):
     overflowed: jax.Array  # scalar bool: some bundle exceeded MAX_CANDIDATES
 
 
-CLUSTER_CHUNK = 8  # clusters intersected per loop step (amortizes step cost)
+CLUSTER_CHUNK = 16  # clusters intersected per loop step (amortizes step cost)
 
 
 def _trace_bundles(origins, directions, t_min, t_max, clusters: Clusters,
-                   max_candidates: int, bundle_size: int, any_hit: bool):
+                   max_candidates: int, bundle_size: int, any_hit: bool,
+                   cluster_chunk: int = CLUSTER_CHUNK):
     """Core loop shared by closest-hit and any-hit."""
     b = origins.shape[0] // bundle_size
     s = clusters.cluster_size
@@ -155,7 +156,7 @@ def _trace_bundles(origins, directions, t_min, t_max, clusters: Clusters,
     # the front-to-back early-exit bounds the WORK instead (incoherent
     # bundles degrade to more steps, not to dropped hits).
     entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
-    chunk = min(CLUSTER_CHUNK, clusters.num_clusters)
+    chunk = min(cluster_chunk, clusters.num_clusters)
     k = ((clusters.num_clusters + chunk - 1) // chunk) * chunk
     order = jnp.argsort(entry, axis=-1)  # [B, C] ascending
     cand_t_full = jnp.take_along_axis(entry, order, axis=-1)
@@ -255,7 +256,8 @@ def _bundle_candidate_counts(origins, directions, t_max, clusters,
 
 def _trace_batched(origins, directions, t_min, t_max, clusters,
                    max_candidates, bundle_size, any_hit,
-                   ray_batch: int = RAY_BATCH):
+                   ray_batch: int = RAY_BATCH,
+                   cluster_chunk: int = CLUSTER_CHUNK):
     """Work-efficient dispatch: bundles are sorted by candidate count, then
     sliced into fixed ray batches for lax.map. Each batch's while_loop stops
     at ITS worst bundle, so light batches (sky, simple geometry) retire in a
@@ -300,7 +302,8 @@ def _trace_batched(origins, directions, t_min, t_max, clusters,
     def one(slice_args):
         o, d, tn, tx = slice_args
         bt, u, v, tri, _ = _trace_bundles(
-            o, d, tn, tx, clusters, max_candidates, bundle_size, any_hit)
+            o, d, tn, tx, clusters, max_candidates, bundle_size, any_hit,
+            cluster_chunk)
         return bt, u, v, tri
 
     if nb == 1:
@@ -323,7 +326,7 @@ def _trace_batched(origins, directions, t_min, t_max, clusters,
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "max_candidates",
-                                   "sort_rays"))
+                                   "sort_rays", "cluster_chunk"))
 def closest_hit_bundle(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -337,6 +340,7 @@ def closest_hit_bundle(
     bundle_size: int = BUNDLE_SIZE,
     max_candidates: int = MAX_CANDIDATES,
     sort_rays: bool = False,
+    cluster_chunk: int = CLUSTER_CHUNK,
 ) -> HitRecord:
     """Closest-hit for a ray batch [N]. Set sort_rays=True for incoherent
     batches (bounce / light rays)."""
@@ -357,7 +361,7 @@ def closest_hit_bundle(
 
     best_t, u, v, tri, _ = _trace_batched(
         origins, directions, t_min_s, t_max_s, clusters, max_candidates,
-        bundle_size, any_hit=False)
+        bundle_size, any_hit=False, cluster_chunk=cluster_chunk)
     if sort_rays:
         best_t = best_t[inv_perm]
         u = u[inv_perm]
@@ -376,7 +380,7 @@ def closest_hit_bundle(
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "max_candidates",
-                                   "sort_rays"))
+                                   "sort_rays", "cluster_chunk"))
 def occluded_bundle(
     clusters: Clusters,
     origins: jax.Array,
@@ -388,6 +392,7 @@ def occluded_bundle(
     bundle_size: int = BUNDLE_SIZE,
     max_candidates: int = MAX_CANDIDATES,
     sort_rays: bool = True,
+    cluster_chunk: int = CLUSTER_CHUNK,
 ) -> jax.Array:
     """Any-hit visibility batch: True where blocked."""
     n_orig = origins.shape[0]
@@ -407,7 +412,7 @@ def occluded_bundle(
 
     _, _, _, tri, _ = _trace_batched(
         origins, directions, t_min_s, t_max_s, clusters, max_candidates,
-        bundle_size, any_hit=True)
+        bundle_size, any_hit=True, cluster_chunk=cluster_chunk)
     blocked = tri >= 0
     if sort_rays:
         blocked = blocked[inv_perm]

@@ -89,7 +89,10 @@ def render_reference(
 
         def bounce_body(_, bcarry):
             radiance, throughput, active, origin, direction, rng_state = bcarry
-            hit = trace_fn(origin, direction, t_min, t_max)
+            # dead lanes get t_max = -1: the bundle tracer excludes them from
+            # bundle bounds and they can never hit (free lane compaction)
+            lane_tmax = jnp.where(active, t_max, -1.0)
+            hit = trace_fn(origin, direction, t_min, lane_tmax)
             surface, emission = surface_from_hit(
                 scene, origin, direction, hit,
                 textures_enabled=textures_enabled)

@@ -1,0 +1,116 @@
+"""Image-error integration tests: ReSTIR output vs the brute-force oracle.
+
+BASELINE.md's strict RMSE <= 1e-2 gate applies to converged high-spp renders
+on the benchmark ladder (TPU-scale); these CPU-sized tests check the two
+properties that gate implies: accumulation CONVERGES toward the oracle
+(error shrinks with frames) and the estimators agree on ENERGY (no bias).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracer2_tpu.models import procedural as proc
+from raytracer2_tpu.params import default_gconst
+from raytracer2_tpu.render.frame import (
+    create_renderer, init_frame_state, render_frame)
+from raytracer2_tpu.render.reference import render_reference
+from raytracer2_tpu.scene import gltf
+from raytracer2_tpu.scene.camera import default_camera
+from raytracer2_tpu.scene.scene import build_scene
+
+W = H = 32
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    p = tmp_path_factory.mktemp("r") / "c.glb"
+    proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+    scene = build_scene(gltf.load_file(p))
+    renderer = create_renderer(scene, W, H)
+    cam = default_camera(window_size=(W, H), position=(0, 0, -12),
+                         direction=(0, 0, -1))
+    view = cam.planar_view_constants()
+    return scene, renderer, view
+
+
+def _tm(x):
+    x = np.asarray(x)
+    return x / (1.0 + x)  # bounded tone curve for stable RMSE
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((_tm(a) - _tm(b)) ** 2)))
+
+
+def _accumulate_reference(renderer, view, n_frames, frame0=0):
+    g = default_gconst(view, 2, refrence_mode=1, enable_accumulation=1)
+    state = init_frame_state(W, H)
+    checkpoints = {}
+    for i in range(n_frames):
+        gf = g.replace(frame=jnp.uint32(frame0 + i),
+                       blend_factor=jnp.float32(1.0 / (i + 1)))
+        state, _ = render_frame(renderer, gf, state)
+        checkpoints[i + 1] = np.asarray(state.diffuse_lighting)
+    return checkpoints
+
+
+def test_reference_accumulation_converges_to_oracle(setup):
+    scene, renderer, view = setup
+    oracle = np.asarray(render_reference(
+        scene, default_gconst(view, 2, refrence_mode=1), W, H,
+        max_bounces=4, max_samples=64,
+        trace_fn=renderer.tracers.closest_hit))
+
+    acc = _accumulate_reference(renderer, view, n_frames=12)
+    early = _rmse(acc[2], oracle)
+    late = _rmse(acc[12], oracle)
+    # error vs the (noisy) oracle shrinks as accumulation converges
+    assert late < early, f"no convergence: rmse {early} -> {late}"
+    # energy agreement: both estimate the same integral
+    ratio = acc[12].mean() / max(oracle.mean(), 1e-9)
+    assert 0.8 < ratio < 1.25, f"energy mismatch ratio {ratio}"
+
+
+def test_independent_accumulations_agree(setup):
+    """Two accumulations with disjoint RNG streams converge to each other —
+    the estimator is consistent (catches systematic bias in traversal,
+    material fetch, RNG wiring)."""
+    scene, renderer, view = setup
+    a = _accumulate_reference(renderer, view, n_frames=10, frame0=0)[10]
+    b = _accumulate_reference(renderer, view, n_frames=10, frame0=1000)[10]
+    rmse_ab = _rmse(a, b)
+    assert rmse_ab < 0.12, f"independent runs disagree: {rmse_ab}"
+    ratio = a.mean() / max(b.mean(), 1e-9)
+    assert 0.85 < ratio < 1.18
+
+
+def test_gi_pipeline_energy_and_structure(setup):
+    """Single-bounce ReSTIR GI vs the oracle: same scene structure (spatial
+    correlation of the display image) and same order of magnitude of energy
+    (GI carries fewer bounces, so it may be dimmer but not wildly off)."""
+    scene, renderer, view = setup
+    g_ref = default_gconst(view, 2, refrence_mode=1, enable_accumulation=1)
+    state = init_frame_state(W, H)
+    img_ref = None
+    for f in range(6):
+        state, img_ref = render_frame(
+            renderer, g_ref.replace(frame=jnp.uint32(f),
+                                    blend_factor=jnp.float32(1 / (f + 1))),
+            state)
+    img_ref = np.asarray(img_ref)
+
+    g_gi = default_gconst(view, 2, enable_restir_gi=1, enable_restir_di=0)
+    state = init_frame_state(W, H)
+    outs = []
+    for f in range(8):
+        state, img = render_frame(
+            renderer, g_gi.replace(frame=jnp.uint32(f)), state)
+        outs.append(np.asarray(img))
+    img_gi = np.mean(outs, axis=0)
+
+    a = img_ref.reshape(-1)
+    b = img_gi.reshape(-1)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.35, f"GI/display correlation too low: {corr}"
+    assert 0.15 < b.mean() / max(a.mean(), 1e-6) < 6.0
