@@ -40,7 +40,7 @@ def run(width: int, height: int, spp: int, bounces: int, frames: int,
         p = Path(d) / "scene.glb"
         if scene_kind == "corridor":
             proc.write_glb(p, proc.corridor_glb(
-                segments=16, pillars_per_side=10, lat=14, lon=20))
+                segments=12, pillars_per_side=8, lat=12, lon=16))
             cam = default_camera(window_size=(width, height),
                                  position=(0, 4, 60), direction=(0, 0, 1))
         else:
@@ -105,7 +105,7 @@ def main():
         cfg = dict(width=64, height=64, spp=1, bounces=2, frames=2,
                    scene_kind="cornell")
     else:
-        cfg = dict(width=512, height=512, spp=4, bounces=4, frames=3,
+        cfg = dict(width=256, height=256, spp=2, bounces=3, frames=2,
                    scene_kind="corridor")
     if args.width:
         cfg["width"] = args.width
@@ -120,7 +120,15 @@ def main():
     if args.scene:
         cfg["scene_kind"] = args.scene
 
-    result = run(**cfg)
+    # the TPU relay on this box occasionally drops the first client after
+    # another process exits; retry the whole run once on runtime errors
+    try:
+        result = run(**cfg)
+    except Exception as e:  # noqa: BLE001 - emit a diagnostic line, retry
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        time.sleep(30)
+        result = run(**cfg)
     print(json.dumps(result))
     return 0
 

@@ -53,6 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--textures", type=int, default=1)
     p.add_argument("--no-bvh", action="store_true",
                    help="brute-force intersection (oracle mode)")
+    p.add_argument("--backend", default="bundle",
+                   choices=["bundle", "scatter", "lbvh", "brute"],
+                   help="ray traversal engine")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace to this directory")
     p.add_argument("--checkpoint", default=None,
@@ -134,7 +137,8 @@ def main(argv=None) -> int:
                 scene.num_emissive_triangles)
 
     renderer = create_renderer(scene, args.width, args.height,
-                               use_bvh=not args.no_bvh)
+                               use_bvh=not args.no_bvh,
+                               backend=args.backend)
     camera = default_camera(
         window_size=(args.width, args.height),
         position=tuple(args.camera_pos), direction=tuple(args.camera_dir),

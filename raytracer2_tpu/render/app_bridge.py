@@ -43,14 +43,33 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                  cluster_size: int = 64, sort_secondary: bool = True
                  ) -> Tracers:
     """Traversal backends:
-    - "bundle" (default): MXU bundle tracer (ops/traverse_bundle.py)
+    - "bundle" (default): frustum-bundle tracer (ops/traverse_bundle.py);
+      fastest for coherent rays, degrades on incoherent batches
+    - "scatter": per-ray exact culling + supercluster ray-binning
+      (ops/traverse_scatter.py); coherence-independent throughput
     - "lbvh": per-ray stack traversal over the device LBVH
     - "brute": all-pairs oracle
     """
     if not use_bvh or scene.num_triangles < 2:
         backend = "brute"
 
-    if backend == "bundle":
+    if backend == "scatter":
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops import traverse_scatter as tsm
+
+        clusters = build_clusters(
+            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+            cluster_size=min(cluster_size, 16))
+        sc = tsm.build_superclusters(clusters, group=16)
+
+        def closest(o, d, tmin, tmax):
+            return tsm.closest_hit_scatter(
+                sc, scene.tri_geometry, scene.tri_primitive,
+                o, d, tmin, tmax)
+
+        def occl(o, d, tmin, tmax):
+            return tsm.occluded_scatter(sc, o, d, tmin, tmax)
+    elif backend == "bundle":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_bundle as tbm
 

@@ -92,10 +92,11 @@ class Renderer(NamedTuple):
 
 
 def create_renderer(scene: Scene, width: int, height: int,
-                    use_bvh: bool = True) -> Renderer:
+                    use_bvh: bool = True,
+                    backend: str = "bundle") -> Renderer:
     return Renderer(
         scene=scene,
-        tracers=make_tracers(scene, use_bvh=use_bvh),
+        tracers=make_tracers(scene, use_bvh=use_bvh, backend=backend),
         scene_lights=prepare_lights(scene),
         neighbor_offsets=fill_neighbor_offsets(),
         width=width,

@@ -213,3 +213,60 @@ class TestNativeSAH:
                     + ext[:, 2] * ext[:, 0]).sum()
 
         assert total_area(sah) <= total_area(mor) * 1.05
+
+
+class TestScatterTracer:
+    """Scatter engine parity (ops/traverse_scatter.py) vs brute force."""
+
+    def _sc(self, scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.traverse_scatter import build_superclusters
+
+        clusters = build_clusters(scene.tri_v0, scene.tri_edge1,
+                                  scene.tri_edge2, cluster_size=16)
+        return build_superclusters(clusters, group=8)
+
+    def test_closest_hit_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_scatter import closest_hit_scatter
+
+        sc = self._sc(sphere_scene)
+        origins, dirs = _random_rays(512, seed=21, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_scatter(
+            sc, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), avg_candidates=64)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(got.triangle_index)[m],
+            np.asarray(ref.triangle_index)[m])
+
+    def test_occlusion_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_scatter import occluded_scatter
+
+        sc = self._sc(sphere_scene)
+        origins, dirs = _random_rays(512, seed=23, spread=5.0)
+        ref = occluded_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, 1e-3, 20.0)
+        got = occluded_scatter(sc, origins, dirs, 1e-3,
+                               jnp.full((512,), 20.0), avg_candidates=64)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_dead_lanes_never_hit(self, sphere_scene):
+        from raytracer2_tpu.ops.traverse_scatter import closest_hit_scatter
+
+        sc = self._sc(sphere_scene)
+        origins, dirs = _random_rays(128, seed=25, spread=5.0)
+        tmax = jnp.where(jnp.arange(128) % 2 == 0, 1e5, -1.0)
+        got = closest_hit_scatter(
+            sc, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, tmax, avg_candidates=64)
+        dead = np.arange(128) % 2 == 1
+        assert np.all(np.asarray(got.missed)[dead])
