@@ -128,41 +128,64 @@ def _trace_scatter_batch(origins, directions, t_min, t_max,
                          sc: SuperClusters, avg_candidates: int,
                          any_hit: bool):
     """One ray batch through the scatter pipeline. Returns per-ray
-    (t_bits_best, blocked, overflow)."""
+    (t_bits_best, blocked, overflow).
+
+    Binning is gather-only: per-ray top-K candidate superclusters (nearest
+    entry first), one sort of the n*K pair keys, then every padded pair slot
+    PULLS its (ray, sc) from the sorted list — TPU scatters of tens of
+    millions of elements were the dominant cost of the naive formulation."""
     n = origins.shape[0]
     c2 = sc.num_superclusters
-    gs = sc.tris_per_group
     p = PAIR_BLOCK
+    k_cand = min(avg_candidates, c2)
 
     mask = _ray_sc_overlap(origins, directions, t_min, t_max, sc)  # [n, C2]
 
-    # per-supercluster ray counts and padded offsets
-    count_sc = jnp.sum(mask, axis=0)  # [C2]
-    padded_sc = ((count_sc + p - 1) // p) * p
+    # entry distance for nearest-first truncation when a ray exceeds K
+    eps = 1e-12
+    d_safe = jnp.where(jnp.abs(directions) < eps,
+                       jnp.where(directions >= 0, eps, -eps), directions)
+    inv = 1.0 / d_safe
+    t0 = (sc.aabb_min[None] - origins[:, None]) * inv[:, None]
+    t1 = (sc.aabb_max[None] - origins[:, None]) * inv[:, None]
+    near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+    entry = jnp.where(mask, near, jnp.inf)  # [n, C2]
+
+    overflow = jnp.any(jnp.sum(mask, axis=-1) > k_cand)
+
+    neg_entry, cand_sc = jax.lax.top_k(-entry, k_cand)  # [n, K]
+    cand_live = jnp.isfinite(neg_entry)
+
+    # sort the n*K pairs by supercluster id (dead pairs last)
+    flat_sc = jnp.where(cand_live, cand_sc, c2).astype(jnp.uint32).reshape(-1)
+    order = jnp.argsort(flat_sc)  # [n*K]
+    sorted_sc = flat_sc[order]
+    sorted_ray = (jnp.arange(n * k_cand, dtype=jnp.int32) // k_cand)[order]
+
+    # per-supercluster counts -> padded slot layout (all tiny [C2] math)
+    count_sc = jnp.bincount(jnp.minimum(sorted_sc, c2), length=c2 + 1)[:c2]
     base_sc = jnp.concatenate(
-        [jnp.zeros((1,), padded_sc.dtype), jnp.cumsum(padded_sc)[:-1]])
-    total_needed = jnp.sum(padded_sc)
+        [jnp.zeros((1,), count_sc.dtype), jnp.cumsum(count_sc)[:-1]])
+    padded_sc = ((count_sc + p - 1) // p) * p
+    padded_cum = jnp.cumsum(padded_sc)
+    padded_base = padded_cum - padded_sc
+    total_needed = padded_cum[-1] if c2 else 0
 
-    tp = ((n * avg_candidates + c2 * p) // p) * p  # static pool size
-    overflow = total_needed > tp
+    tp = ((n * k_cand + c2 * p) // p) * p  # static pool size (worst case)
+    overflow |= total_needed > tp
 
-    # rank of each ray within its supercluster's list
-    rank = jnp.cumsum(mask, axis=0) - mask.astype(jnp.int32)  # [n, C2]
-    pos = base_sc[None, :] + rank  # [n, C2]
-    pos = jnp.where(mask, pos, tp)  # dropped/masked -> out of range
+    # each padded slot pulls its pair from the sorted list (gather-only)
+    slots = jnp.arange(tp, dtype=jnp.int32)
+    slot_sc = jnp.searchsorted(padded_cum, slots,
+                               side="right").astype(jnp.int32)
+    slot_sc = jnp.minimum(slot_sc, c2 - 1)
+    src = slots - padded_base[slot_sc] + base_sc[slot_sc].astype(jnp.int32)
+    in_range = (slots < total_needed) & (
+        src < (base_sc[slot_sc] + count_sc[slot_sc]).astype(jnp.int32))
+    src = jnp.clip(src, 0, n * k_cand - 1)
+    pair_ray = jnp.where(in_range, sorted_ray[src], -1)
 
-    pair_ray = jnp.full((tp + 1,), -1, jnp.int32)
-    ray_ids = jax.lax.broadcasted_iota(jnp.int32, (n, c2), 0)
-    pair_ray = pair_ray.at[pos.reshape(-1)].set(ray_ids.reshape(-1),
-                                                mode="drop")
-    pair_ray = pair_ray[:tp]
-
-    # block -> supercluster map: block b belongs to the sc whose padded
-    # range contains b*p
-    block_starts = jnp.arange(tp // p, dtype=jnp.int32) * p
-    cum = jnp.cumsum(padded_sc)
-    block_sc = jnp.searchsorted(cum, block_starts, side="right").astype(jnp.int32)
-    block_sc = jnp.minimum(block_sc, c2 - 1)
+    block_sc = slot_sc.reshape(-1, p)[:, 0]
 
     live = pair_ray >= 0
     safe_ray = jnp.maximum(pair_ray, 0)

@@ -428,6 +428,13 @@ def gi_temporal_pass(
     out = jax.tree_util.tree_map(
         lambda a: a.reshape((height, width) + a.shape[1:]), out)
 
+    if tp.enable_boiling_filter:
+        # applied at the end of the temporal pass (DIResamplingFunctions
+        # comment :102-105 / GIResamplingFunctions.hlsli:885-894)
+        from raytracer2_tpu.restir.gi_resampling import gi_boiling_filter
+
+        out = gi_boiling_filter(out, tp.boiling_filter_strength)
+
     return where_gi(primary.valid, out, input_reservoirs)
 
 

@@ -355,3 +355,32 @@ def gi_boiling_filter(reservoirs: GIReservoir, filter_strength
     weight = luminance_rec709(reservoirs.radiance) * reservoirs.weight_sum
     kill = helpers.boiling_filter_mask(weight, filter_strength)
     return where_gi(kill, empty_gi_reservoir(weight.shape), reservoirs)
+
+
+def gi_spatio_temporal_resampling(
+    px: jax.Array,
+    py: jax.Array,
+    surface: Surface,
+    input_reservoir: GIReservoir,
+    rng_state: rtrng.RngState,
+    t_spec: GITemporalSpec,
+    s_spec: GISpatialSpec,
+    screen_space_motion: jax.Array,
+    uniform_random_number: jax.Array,
+    max_reservoir_age,
+    prev_reservoirs: GIReservoir,
+    bridge: Bridge,
+) -> tuple[GIReservoir, rtrng.RngState]:
+    """RTXDI_GISpatioTemporalResampling (GIResamplingFunctions.hlsli:611-880).
+
+    The reference's fused pass runs the 5+1 temporal surface search and then
+    spatial neighbors against the SAME previous-frame source buffer. This
+    composition performs the temporal merge followed by a spatial walk over
+    the previous-frame reservoirs — the same sample set and normalization
+    family, restructured for batched visibility."""
+    merged, rng_state = gi_temporal_resampling(
+        px, py, surface, input_reservoir, rng_state, t_spec,
+        screen_space_motion, uniform_random_number, max_reservoir_age,
+        prev_reservoirs, bridge)
+    return gi_spatial_resampling(
+        px, py, surface, merged, rng_state, s_spec, prev_reservoirs, bridge)

@@ -309,3 +309,21 @@ def basic_tone_mapping(color: jax.Array, bias: jax.Array) -> jax.Array:
     new_lum = lum / (bias + lum)
     scale = jnp.where(lum > 0.0, new_lum / jnp.maximum(lum, 1e-20), 1.0)
     return color * scale[..., None]
+
+
+def cartesian_to_spherical(v: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(r, azimuth, elevation) (ref: RtxdiMath.hlsli:81-88)."""
+    r = jnp.linalg.norm(v, axis=-1)
+    n = v / jnp.maximum(r, 1e-30)[..., None]
+    azimuth = jnp.arctan2(n[..., 2], n[..., 0])
+    elevation = jnp.arcsin(jnp.clip(n[..., 1], -1.0, 1.0))
+    return r, azimuth, elevation
+
+
+def spherical_to_cartesian(r: jax.Array, azimuth: jax.Array,
+                           elevation: jax.Array) -> jax.Array:
+    """(ref: RtxdiMath.hlsli:90-101)."""
+    cos_el = jnp.cos(elevation)
+    return jnp.stack(
+        [r * jnp.cos(azimuth) * cos_el, r * jnp.sin(elevation),
+         r * jnp.sin(azimuth) * cos_el], axis=-1)
