@@ -54,7 +54,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bvh", action="store_true",
                    help="brute-force intersection (oracle mode)")
     p.add_argument("--backend", default="bundle",
-                   choices=["bundle", "scatter", "lbvh", "brute"],
+                   choices=["bundle", "bundle_pallas", "scatter", "lbvh", "brute"],
                    help="ray traversal engine")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace to this directory")

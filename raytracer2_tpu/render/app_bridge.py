@@ -47,13 +47,36 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
       fastest for coherent rays, degrades on incoherent batches
     - "scatter": per-ray exact culling + supercluster ray-binning
       (ops/traverse_scatter.py); coherence-independent throughput
+    - "bundle_pallas": the bundle walk as a Pallas kernel with in-kernel
+      DMA + true per-bundle early exit (ops/pallas_traverse.py); closest-hit
+      only, falls back to the XLA bundle walk for occlusion
     - "lbvh": per-ray stack traversal over the device LBVH
     - "brute": all-pairs oracle
     """
     if not use_bvh or scene.num_triangles < 2:
         backend = "brute"
 
-    if backend == "scatter":
+    if backend == "bundle_pallas":
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops import pallas_traverse as ptm
+        from raytracer2_tpu.ops import traverse_bundle as tbm
+
+        clusters = build_clusters(
+            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
+            cluster_size=cluster_size)
+        scene_min = jnp.min(clusters.aabb_min, axis=0)
+        scene_max = jnp.max(clusters.aabb_max, axis=0)
+
+        def closest(o, d, tmin, tmax):
+            return ptm.closest_hit_bundle_pallas(
+                clusters, scene.tri_geometry, scene.tri_primitive,
+                o, d, tmin, tmax, scene_min, scene_max)
+
+        def occl(o, d, tmin, tmax):
+            return tbm.occluded_bundle(
+                clusters, o, d, tmin, tmax, scene_min, scene_max,
+                sort_rays=sort_secondary)
+    elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
 

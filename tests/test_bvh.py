@@ -270,3 +270,31 @@ class TestScatterTracer:
             origins, dirs, 1e-3, tmax, avg_candidates=64)
         dead = np.arange(128) % 2 == 1
         assert np.all(np.asarray(got.missed)[dead])
+
+
+class TestPallasTracer:
+    """Pallas candidate-walk kernel parity (ops/pallas_traverse.py),
+    interpret mode (hardware runs are covered by the bench)."""
+
+    def test_closest_hit_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=31, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
