@@ -24,7 +24,7 @@ BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md)
 
 
 def run(width: int, height: int, spp: int, bounces: int, frames: int,
-        scene_kind: str) -> dict:
+        scene_kind: str, backend: str = "auto") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,8 @@ def run(width: int, height: int, spp: int, bounces: int, frames: int,
                                  position=(0, 0, -12), direction=(0, 0, -1))
         scene = build_scene(gltf.load_file(p))
 
-    renderer = create_renderer(scene, width, height, use_bvh=True)
+    renderer = create_renderer(scene, width, height, use_bvh=True,
+                               backend=backend)
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights, refrence_mode=1)
@@ -83,7 +84,8 @@ def run(width: int, height: int, spp: int, bounces: int, frames: int,
             "bounces": bounces,
             "frames": frames,
             "seconds": round(elapsed, 3),
-            "backend": jax.devices()[0].platform,
+            "platform": jax.devices()[0].platform,
+            "backend": backend,
         },
     }
 
@@ -99,6 +101,9 @@ def main():
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--scene", default=None,
                         choices=["corridor", "cornell"])
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "bundle", "bundle_pallas",
+                                 "scatter", "lbvh", "brute"])
     args = parser.parse_args()
 
     if args.smoke:
@@ -119,6 +124,7 @@ def main():
         cfg["frames"] = args.frames
     if args.scene:
         cfg["scene_kind"] = args.scene
+    cfg["backend"] = args.backend
 
     # the TPU relay on this box occasionally drops the first client after
     # another process exits; retry the whole run once on runtime errors

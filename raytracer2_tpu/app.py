@@ -53,8 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--textures", type=int, default=1)
     p.add_argument("--no-bvh", action="store_true",
                    help="brute-force intersection (oracle mode)")
-    p.add_argument("--backend", default="bundle",
-                   choices=["bundle", "bundle_pallas", "scatter", "lbvh", "brute"],
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bundle", "bundle_pallas", "scatter", "lbvh",
+                            "brute"],
                    help="ray traversal engine")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace to this directory")

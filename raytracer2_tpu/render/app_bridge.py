@@ -39,11 +39,14 @@ class Tracers:
 
 
 def make_tracers(scene: Scene, bvh: BVH | None = None,
-                 use_bvh: bool = True, backend: str = "bundle",
-                 cluster_size: int = 64, sort_secondary: bool = True
+                 use_bvh: bool = True, backend: str = "auto",
+                 cluster_size: int | None = None,
+                 sort_secondary: bool = True
                  ) -> Tracers:
     """Traversal backends:
-    - "bundle" (default): frustum-bundle tracer (ops/traverse_bundle.py);
+    - "auto" (default): "bundle_pallas" on TPU, "bundle" elsewhere (the
+      Pallas kernel only lowers on TPU hardware)
+    - "bundle": frustum-bundle tracer (ops/traverse_bundle.py);
       fastest for coherent rays, degrades on incoherent batches
     - "scatter": per-ray exact culling + supercluster ray-binning
       (ops/traverse_scatter.py); coherence-independent throughput
@@ -55,22 +58,28 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
     """
     if not use_bvh or scene.num_triangles < 2:
         backend = "brute"
+    if backend == "auto":
+        backend = ("bundle_pallas" if jax.default_backend() not in
+                   ("cpu",) else "bundle")
 
     if backend == "bundle_pallas":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import pallas_traverse as ptm
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
+        # 128 tris/cluster fills the padded VPU lane dim exactly (hardware
+        # sweep: 1.5x on incoherent rays vs 64); bundles of 64 rays give
+        # tighter frusta -> fewer candidates per bundle
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size)
+            cluster_size=cluster_size or 128)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
         def closest(o, d, tmin, tmax):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
-                o, d, tmin, tmax, scene_min, scene_max)
+                o, d, tmin, tmax, scene_min, scene_max, bundle_size=64)
 
         def occl(o, d, tmin, tmax):
             return tbm.occluded_bundle(
@@ -98,7 +107,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
 
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size)
+            cluster_size=cluster_size or 64)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 

@@ -93,7 +93,7 @@ class Renderer(NamedTuple):
 
 def create_renderer(scene: Scene, width: int, height: int,
                     use_bvh: bool = True,
-                    backend: str = "bundle") -> Renderer:
+                    backend: str = "auto") -> Renderer:
     return Renderer(
         scene=scene,
         tracers=make_tracers(scene, use_bvh=use_bvh, backend=backend),
