@@ -177,6 +177,206 @@ def _walk_kernel(cand_count_ref,
     slot_out[0, 0, :] = best_slot
 
 
+def _occlude_kernel(cand_count_ref,
+                    o_ref, d_ref, tmin_ref, tmax_ref,
+                    cand_idx_hbm, cand_t_hbm, wald_hbm,
+                    hit_out,
+                    idx_row, t_row, scratch, sems, row_sems):
+    """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
+    bundle exits once every live ray is blocked or candidates run out."""
+    p = o_ref.shape[0]
+    i = pl.program_id(0)
+    n_cand = cand_count_ref[i]
+    kr, kc = idx_row.shape
+    k_max = kr * kc
+
+    idx_dma = pltpu.make_async_copy(cand_idx_hbm.at[i], idx_row,
+                                    row_sems.at[0])
+    t_dma = pltpu.make_async_copy(cand_t_hbm.at[i], t_row, row_sems.at[1])
+    idx_dma.start()
+    t_dma.start()
+    idx_dma.wait()
+    t_dma.wait()
+
+    def cand_at(ref, k):
+        return ref[jax.lax.div(k, kc), jax.lax.rem(k, kc)]
+
+    def fetch(k, slot):
+        ci = cand_at(idx_row, k)
+        return pltpu.make_async_copy(
+            wald_hbm.at[ci], scratch.at[slot], sems.at[slot])
+
+    @pl.when(n_cand > 0)
+    def _():
+        fetch(0, 0).start()
+
+    ox = o_ref[:, 0:1]
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz3 = d_ref[:, 2:3]
+    tn = tmin_ref[0, 0]
+    tx = tmax_ref[0, 0]
+
+    # padded rays carry t_max < t_min: done from the start. The done mask
+    # is carried as int32 (Mosaic cannot yield i1 vectors from loops).
+    init = (jnp.int32(0), (tx <= tn).astype(jnp.int32))
+
+    def cond(state):
+        k, done = state
+        # the farthest t_max among live rays bounds useful candidates; once
+        # every ray is done the max is -inf and the walk stops
+        worst = jnp.max(jnp.where(done != 0, -jnp.inf, tx))
+        more = k < n_cand
+        near_enough = cand_at(t_row, jnp.minimum(k, k_max - 1)) <= worst
+        return more & near_enough
+
+    def body(state):
+        k, done = state
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_cand)
+        def _():
+            fetch(k + 1, 1 - slot).start()
+
+        fetch(k, slot).wait()
+        w = scratch[slot]
+
+        def affine(c, px, py2, pz, bias):
+            out = px * w[0 + c][None] + py2 * w[3 + c][None] \
+                + pz * w[6 + c][None]
+            if bias:
+                out = out + w[9 + c][None]
+            return out
+
+        op_u = affine(0, ox, oy, oz, True)
+        op_v = affine(1, ox, oy, oz, True)
+        op_z = affine(2, ox, oy, oz, True)
+        dp_u = affine(0, dx, dy, dz3, False)
+        dp_v = affine(1, dx, dy, dz3, False)
+        dz = affine(2, dx, dy, dz3, False)
+        safe = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+        t = -op_z / safe
+        uu = op_u + t * dp_u
+        vv = op_v + t * dp_v
+        hit = ((jnp.abs(dz) > 1e-12)
+               & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+               & (t > tn[:, None]) & (t < tx[:, None]))
+        return k + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
+
+    k_final, done = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(k_final < n_cand)
+    def _():
+        fetch(k_final, jax.lax.rem(k_final, 2)).wait()
+
+    hit_out[0, 0, :] = done * (tx > tn).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("bundle_size", "interpret"))
+def occluded_bundle_pallas(
+    clusters: Clusters,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_min,
+    t_max,
+    scene_min: jax.Array,
+    scene_max: jax.Array,
+    bundle_size: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Any-hit visibility batch via the Pallas walk: True where blocked.
+    Shadow-ray counterpart of traceVisibilityRay (reference
+    lighting_passes/TraceVisibility.glsl semantics)."""
+    from raytracer2_tpu.ops.traverse_bundle import (
+        _bundle_bounds, sort_rays_for_coherence)
+    from raytracer2_tpu.ops.cluster import bundle_cluster_overlap
+
+    n_orig = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+    perm = sort_rays_for_coherence(origins, directions, scene_min, scene_max)
+    inv_perm = jnp.argsort(perm)
+    o = origins[perm]
+    d = directions[perm]
+    tn = t_min[perm]
+    tx = t_max_a[perm]
+
+    pad = (-n_orig) % bundle_size
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
+        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
+        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
+    n = o.shape[0]
+    b = n // bundle_size
+    p = bundle_size
+
+    tn2 = tn.reshape(-1, 1, p)
+    tx2 = tx.reshape(-1, 1, p)
+    o_min, o_max, inv_lo, inv_hi, bundle_tmax = _bundle_bounds(
+        o, d, tx, bundle_size)
+    may_hit, t_enter = bundle_cluster_overlap(
+        o_min, o_max, inv_lo, inv_hi, bundle_tmax,
+        clusters.aabb_min, clusters.aabb_max)
+    entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
+    order = jnp.argsort(entry, axis=-1)
+    cand_t = jnp.take_along_axis(entry, order, axis=-1)
+    cand_idx = order.astype(jnp.int32)
+    cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
+
+    wald = _wald_rows(clusters)
+    w3 = wald.shape[-1]
+    k = cand_idx.shape[1]
+    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+    if kp != k:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
+        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
+                         constant_values=jnp.inf)
+    cand_idx = cand_idx.reshape(b, 8, kp // 8)
+    cand_t = cand_t.reshape(b, 8, kp // 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, kp // 8), jnp.int32),
+            pltpu.SMEM((8, kp // 8), jnp.float32),
+            pltpu.VMEM((2, 16, w3), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    (hit,) = pl.pallas_call(
+        _occlude_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)],
+        interpret=interpret,
+    )(cand_count, o, d, tn2, tx2, cand_idx, cand_t, wald)
+    return hit.reshape(n)[:n_orig][inv_perm].astype(jnp.bool_)
+
+
 @partial(jax.jit, static_argnames=("bundle_size", "interpret"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,

@@ -51,8 +51,8 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
     - "scatter": per-ray exact culling + supercluster ray-binning
       (ops/traverse_scatter.py); coherence-independent throughput
     - "bundle_pallas": the bundle walk as a Pallas kernel with in-kernel
-      DMA + true per-bundle early exit (ops/pallas_traverse.py); closest-hit
-      only, falls back to the XLA bundle walk for occlusion
+      DMA + true per-bundle early exit (ops/pallas_traverse.py), for both
+      closest-hit and any-hit occlusion
     - "lbvh": per-ray stack traversal over the device LBVH
     - "brute": all-pairs oracle
     """
@@ -65,7 +65,6 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
     if backend == "bundle_pallas":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import pallas_traverse as ptm
-        from raytracer2_tpu.ops import traverse_bundle as tbm
 
         # 128 tris/cluster fills the padded VPU lane dim exactly (hardware
         # sweep: 1.5x on incoherent rays vs 64); bundles of 64 rays give
@@ -82,16 +81,16 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                 o, d, tmin, tmax, scene_min, scene_max, bundle_size=64)
 
         def occl(o, d, tmin, tmax):
-            return tbm.occluded_bundle(
+            return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                sort_rays=sort_secondary)
+                bundle_size=64)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
 
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=min(cluster_size, 16))
+            cluster_size=min(cluster_size or 64, 16))
         sc = tsm.build_superclusters(clusters, group=16)
 
         def closest(o, d, tmin, tmax):

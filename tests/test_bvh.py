@@ -298,3 +298,26 @@ class TestPallasTracer:
         m = ~np.asarray(ref.missed)
         np.testing.assert_allclose(np.asarray(got.t)[m],
                                    np.asarray(ref.t)[m], rtol=1e-3)
+
+    def test_occlusion_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import occluded_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=32, spread=5.0)
+        # mixed finite/infinite shadow-ray lengths
+        rng = np.random.default_rng(7)
+        tmax = jnp.asarray(np.where(rng.uniform(size=512) < 0.5,
+                                    rng.uniform(0.5, 6.0, 512), 1e5),
+                           jnp.float32)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, tmax)
+        got = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, tmax, smin, smax, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
