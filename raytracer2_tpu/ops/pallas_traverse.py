@@ -81,10 +81,14 @@ def _walk_kernel(cand_count_ref,
         return pltpu.make_async_copy(
             wald_hbm.at[ci], scratch.at[slot], sems.at[slot])
 
-    # warm up: fetch candidate 0
-    @pl.when(n_cand > 0)
-    def _():
-        fetch(0, 0).start()
+    # warm up: fill the prefetch pipeline (the walk is HBM-latency bound -
+    # each cluster fetch is ~1us while its intersection is ~50ns, so keep
+    # DEPTH fetches in flight)
+    depth = scratch.shape[0]
+    for j in range(depth - 1):
+        @pl.when(j < n_cand)
+        def _(j=j):
+            fetch(j, j % depth).start()
 
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
@@ -111,11 +115,11 @@ def _walk_kernel(cand_count_ref,
 
     def body(state):
         k, best_t, best_u, best_v, best_k, best_slot = state
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, depth)
 
-        @pl.when(k + 1 < n_cand)
+        @pl.when(k + depth - 1 < n_cand)
         def _():
-            fetch(k + 1, 1 - slot).start()
+            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
 
         fetch(k, slot).wait()
         w = scratch[slot]  # [12, S_pad]: rows = input k * 3 + component c
@@ -163,12 +167,13 @@ def _walk_kernel(cand_count_ref,
     k_final, best_t, best_u, best_v, best_k, best_slot = jax.lax.while_loop(
         cond, body, init)
 
-    # drain: an early exit (entry distance > worst hit) leaves the prefetch
-    # for k_final in flight; wait on it or the semaphore count leaks into the
-    # next grid step and the DMA engine aborts
-    @pl.when(k_final < n_cand)
-    def _():
-        fetch(k_final, jax.lax.rem(k_final, 2)).wait()
+    # drain: an early exit (entry distance > worst hit) leaves up to
+    # depth-1 prefetches in flight; wait on them or the semaphore counts
+    # leak into the next grid step and the DMA engine aborts
+    for off in range(depth - 1):
+        @pl.when(k_final + off < n_cand)
+        def _(off=off):
+            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
 
     t_out[0, 0, :] = best_t
     u_out[0, 0, :] = best_u
@@ -206,9 +211,11 @@ def _occlude_kernel(cand_count_ref,
         return pltpu.make_async_copy(
             wald_hbm.at[ci], scratch.at[slot], sems.at[slot])
 
-    @pl.when(n_cand > 0)
-    def _():
-        fetch(0, 0).start()
+    depth = scratch.shape[0]
+    for j in range(depth - 1):
+        @pl.when(j < n_cand)
+        def _(j=j):
+            fetch(j, j % depth).start()
 
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
@@ -234,11 +241,11 @@ def _occlude_kernel(cand_count_ref,
 
     def body(state):
         k, done = state
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, depth)
 
-        @pl.when(k + 1 < n_cand)
+        @pl.when(k + depth - 1 < n_cand)
         def _():
-            fetch(k + 1, 1 - slot).start()
+            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
 
         fetch(k, slot).wait()
         w = scratch[slot]
@@ -267,9 +274,10 @@ def _occlude_kernel(cand_count_ref,
 
     k_final, done = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(k_final < n_cand)
-    def _():
-        fetch(k_final, jax.lax.rem(k_final, 2)).wait()
+    for off in range(depth - 1):
+        @pl.when(k_final + off < n_cand)
+        def _(off=off):
+            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
 
     hit_out[0, 0, :] = done * (tx > tn).astype(jnp.int32)
 
@@ -362,8 +370,8 @@ def occluded_bundle_pallas(
         scratch_shapes=[
             pltpu.SMEM((8, kp // 8), jnp.int32),
             pltpu.SMEM((8, kp // 8), jnp.float32),
-            pltpu.VMEM((2, 16, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 16, w3), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -472,8 +480,8 @@ def closest_hit_bundle_pallas(
         scratch_shapes=[
             pltpu.SMEM((8, kp // 8), jnp.int32),
             pltpu.SMEM((8, kp // 8), jnp.float32),
-            pltpu.VMEM((2, 16, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 16, w3), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

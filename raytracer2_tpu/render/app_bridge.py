@@ -66,24 +66,24 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import pallas_traverse as ptm
 
-        # 128 tris/cluster fills the padded VPU lane dim exactly (hardware
-        # sweep: 1.5x on incoherent rays vs 64); bundles of 64 rays give
-        # tighter frusta -> fewer candidates per bundle
+        # hardware sweep: 512 tris/cluster amortizes the fixed per-step
+        # cost (incoherent 1.1 -> 2.0 Mrays/s vs 128) and wide bundles
+        # amortize it across rays on coherent batches
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size or 128)
+            cluster_size=cluster_size or 512)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
         def closest(o, d, tmin, tmax):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
-                o, d, tmin, tmax, scene_min, scene_max, bundle_size=64)
+                o, d, tmin, tmax, scene_min, scene_max, bundle_size=256)
 
         def occl(o, d, tmin, tmax):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                bundle_size=64)
+                bundle_size=256)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
