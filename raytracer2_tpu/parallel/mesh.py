@@ -6,9 +6,9 @@ dimension, sharded by pixel ROWS over a 1-D mesh while scene arrays (BVH,
 triangles, lights, textures) are replicated on every chip. Ray passes are
 embarrassingly parallel; the bounded-stencil gather passes (GI spatial
 radius 3 px, DI radius 32 px, temporal reprojection) compile under GSPMD,
-which inserts the boundary collectives over ICI automatically — the explicit
-ppermute halo-exchange kernel is the planned optimization for when profiles
-show the collectives dominate.
+which inserts the boundary collectives over ICI automatically; the explicit
+ppermute halo exchange for those stencils lives in parallel/halo.py for
+shard_map'd passes where GSPMD's choice is too coarse.
 
 Usage:
     mesh = make_mesh()                       # all local devices
