@@ -110,7 +110,7 @@ def main():
         cfg = dict(width=64, height=64, spp=1, bounces=2, frames=2,
                    scene_kind="cornell")
     else:
-        cfg = dict(width=256, height=256, spp=2, bounces=3, frames=2,
+        cfg = dict(width=256, height=256, spp=2, bounces=3, frames=8,
                    scene_kind="corridor")
     if args.width:
         cfg["width"] = args.width
