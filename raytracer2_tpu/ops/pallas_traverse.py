@@ -1,4 +1,4 @@
-"""Pallas traversal kernel: per-bundle candidate walk with in-kernel DMA.
+"""Pallas traversal kernels: per-bundle candidate walk with in-kernel DMA.
 
 The XLA bundle walk (ops/traverse_bundle.py) runs all bundles in lockstep —
 every while_loop step pays for every bundle, so one deep bundle stalls the
@@ -6,18 +6,36 @@ whole batch, and each step is a chain of XLA ops with dispatch overhead.
 This kernel moves the walk INSIDE a Pallas program, one grid step per
 bundle:
 
-- the bundle's rays, candidate cluster ids and entry distances sit in VMEM;
-- cluster Wald blocks are DMA'd from HBM on demand, double-buffered so the
-  fetch of candidate k+1 overlaps the intersection of candidate k;
+- the bundle's rays sit in VMEM, candidate cluster ids + entry distances in
+  SMEM (one small HBM->SMEM copy per bundle, ~1.4 us measured);
+- cluster Wald blocks are DMA'd from HBM on demand, multi-buffered so the
+  fetch of candidate k+d overlaps the intersection of candidate k (the walk
+  is compute-bound: a no-DMA variant measures identically);
 - the walk terminates per bundle the moment the next candidate's entry
-  distance exceeds the bundle's worst committed hit — cheap bundles cost a
-  handful of iterations, and TOTAL time tracks the sum of per-bundle work
-  instead of (num steps of the worst bundle) x (cost of all bundles).
+  distance exceeds the bundle's worst committed hit;
+- winner tracking is ONE packed min-reduce per step: for t >= 0 the IEEE
+  bit pattern is monotone, so key = (bitcast(t) & ~SLOT_MASK) | slot orders
+  first by t (low mantissa bits dropped) then by slot. The hardware sweep
+  showed the previous iota/one-hot winner chain cost ~1.4 us of the 4.7 us
+  step; the packed form removes it. Exact (t, u, v) of the winning triangle
+  are recovered on the host by re-evaluating one Wald transform per ray
+  from a flat [C*S, 12] gather (measured 11 ms / Mray vs 25 ms for the
+  fancy-indexed form).
 
-The kernel returns (t, u, v, candidate k, slot) per ray; the host maps
-(k, slot) back to triangle ids with one gather. Correctness is validated
-against the brute-force oracle in interpret mode and on hardware by
+The kernel returns (key, candidate k) per ray; the host maps (k, slot) back
+to triangle ids with one gather. Correctness is validated against the
+brute-force oracle in interpret mode and on hardware by
 tests/test_bvh.py::TestPallasTracer.
+
+Mosaic gotchas encoded here (hard-won, do not "simplify" away):
+- DMA slices need 8-aligned leading dims + 128-lane rows (candidate rows as
+  [8, K/8], Wald rows padded 12 -> 16);
+- 1D kernel operands get XLA layout T(1024) vs Mosaic T(128) — pass [B,1,P]
+  with (1,1,P) blocks;
+- no i1 vectors through while_loop carries (use int32);
+- an early exit that leaves a prefetch DMA un-waited corrupts semaphores
+  across grid steps and ABORTS the device — always drain after the loop;
+- bitcast has no 1D form — bounce [P] vectors through [1, P].
 """
 
 from __future__ import annotations
@@ -29,14 +47,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer2_tpu.ops.cluster import Clusters
+from raytracer2_tpu.ops.cluster import Clusters, bundle_cluster_overlap
 from raytracer2_tpu.ops.intersect import INVALID_INDEX, HitRecord
 
 LANE_PAD = 128  # pad the per-cluster triangle count to a lane multiple
 
+SLOT_BITS = 10  # cluster_size <= 1024; low key bits carry the winning slot
+SLOT_MASK = (1 << SLOT_BITS) - 1
+MISS_KEY = 0x7F000000  # bits of ~1.7e38: above any real hit key
+
 
 def _wald_rows(clusters: Clusters) -> jax.Array:
-    """Re-layout [C, 4, 3S] -> [C, 12, S_pad]: row (k*3 + c) holds transform
+    """Re-layout [C, 4, 3S] -> [C, 16, S_pad]: row (k*3 + c) holds transform
     input k (x, y, z, bias) for output component c (u, v, z), so the kernel
     computes each component as lane-parallel FMAs with no reshapes. Padding
     triangles have all-zero transforms (d'_z == 0 -> never hit)."""
@@ -52,144 +74,121 @@ def _wald_rows(clusters: Clusters) -> jax.Array:
     return rows
 
 
-def _walk_kernel(cand_count_ref,
-                 o_ref, d_ref, tmin_ref, tmax_ref,
-                 cand_idx_hbm, cand_t_hbm, wald_hbm,
-                 t_out, u_out, v_out, k_out, slot_out,
-                 idx_row, t_row, scratch, sems, row_sems):
-    """One bundle per grid step. Candidate rows are DMA'd HBM->SMEM up
-    front; cluster Wald blocks stream HBM->VMEM double-buffered."""
-    p = o_ref.shape[0]
-    i = pl.program_id(0)
-    n_cand = cand_count_ref[i]
-    kr, kc = idx_row.shape  # [8, K/8] row-major candidate layout
-    k_max = kr * kc
+def _wald_flat(clusters: Clusters) -> jax.Array:
+    """[C*S, 12] per-triangle Wald transforms, contiguous per triangle, for
+    the host-side exact winner re-evaluation (one cheap row gather)."""
+    c, _, w3 = clusters.wald.shape
+    s = w3 // 3
+    return (clusters.wald.reshape(c, 4, s, 3)
+            .transpose(0, 2, 1, 3)  # [C, S, 4, 3]
+            .reshape(c * s, 12))
 
-    idx_dma = pltpu.make_async_copy(cand_idx_hbm.at[i], idx_row,
-                                    row_sems.at[0])
-    t_dma = pltpu.make_async_copy(cand_t_hbm.at[i], t_row, row_sems.at[1])
-    idx_dma.start()
-    t_dma.start()
-    idx_dma.wait()
-    t_dma.wait()
 
-    def cand_at(ref, k):
-        return ref[jax.lax.div(k, kc), jax.lax.rem(k, kc)]
+def _apply_permutation(perm, arrays_3, arrays_1):
+    """Permute rays with ONE row gather: [N,3] x2 + [N] x2 pack into [N,8]
+    (three separate [N,3] gathers measured 3.3x slower than one [N,8])."""
+    packed = jnp.concatenate(
+        [a for a in arrays_3]
+        + [a[:, None] for a in arrays_1], axis=1)
+    packed = packed[perm]
+    n3 = len(arrays_3)
+    outs3 = [packed[:, 3 * i:3 * i + 3] for i in range(n3)]
+    outs1 = [packed[:, 3 * n3 + i] for i in range(len(arrays_1))]
+    return outs3 + outs1
 
-    def fetch(k, slot):
-        ci = cand_at(idx_row, k)
-        return pltpu.make_async_copy(
-            wald_hbm.at[ci], scratch.at[slot], sems.at[slot])
 
-    # warm up: fill the prefetch pipeline (the walk is HBM-latency bound -
-    # each cluster fetch is ~1us while its intersection is ~50ns, so keep
-    # DEPTH fetches in flight)
-    depth = scratch.shape[0]
-    for j in range(depth - 1):
-        @pl.when(j < n_cand)
-        def _(j=j):
-            fetch(j, j % depth).start()
+def _prepare_bundles(clusters, origins, directions, t_min, t_max,
+                     scene_min, scene_max, bundle_size, presorted):
+    """Shared host-side prep: (optional) coherence sort, padding, per-bundle
+    candidate lists sorted by conservative entry distance."""
+    from raytracer2_tpu.ops.traverse_bundle import (
+        _bundle_bounds, sort_rays_for_coherence)
 
-    ox = o_ref[:, 0:1]
-    oy = o_ref[:, 1:2]
-    oz = o_ref[:, 2:3]
-    dx = d_ref[:, 0:1]
-    dy = d_ref[:, 1:2]
-    dz3 = d_ref[:, 2:3]
+    n_orig = origins.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
 
-    init = (
-        jnp.int32(0),  # k
-        tmax_ref[0, 0],  # best t  [P]
-        jnp.zeros((p,), jnp.float32),  # u
-        jnp.zeros((p,), jnp.float32),  # v
-        jnp.full((p,), -1, jnp.int32),  # best candidate k
-        jnp.full((p,), -1, jnp.int32),  # best slot within cluster
+    if presorted:
+        perm = None
+        o, d, tn, tx = origins, directions, t_min, t_max_a
+    else:
+        perm = sort_rays_for_coherence(origins, directions,
+                                       scene_min, scene_max)
+        o, d, tn, tx = _apply_permutation(perm, [origins, directions],
+                                          [t_min, t_max_a])
+
+    pad = (-n_orig) % bundle_size
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
+        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
+        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
+    n = o.shape[0]
+    b = n // bundle_size
+
+    o_min, o_max, inv_lo, inv_hi, bundle_tmax = _bundle_bounds(
+        o, d, tx, bundle_size)
+    may_hit, t_enter = bundle_cluster_overlap(
+        o_min, o_max, inv_lo, inv_hi, bundle_tmax,
+        clusters.aabb_min, clusters.aabb_max)
+    entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
+    order = jnp.argsort(entry, axis=-1)
+    cand_t = jnp.take_along_axis(entry, order, axis=-1)
+    cand_idx = order.astype(jnp.int32)
+    cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
+
+    # candidate rows as [B, 8, kp/8]: DMA-sliceable (8-aligned leading dim,
+    # lane-multiple rows)
+    k = cand_idx.shape[1]
+    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+    if kp != k:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
+        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
+                         constant_values=jnp.inf)
+    cand_idx_flat = cand_idx  # [B, kp] view for the final triangle gather
+    cand_idx = cand_idx.reshape(b, 8, kp // 8)
+    cand_t = cand_t.reshape(b, 8, kp // 8)
+
+    return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
+            n, b, kp, t_max_a)
+
+
+def _grid_spec(b, p, kp, w3, depth, n_outputs):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # cand_count
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),  # o
+            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),  # d
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # t_min
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # t_max
+            pl.BlockSpec(memory_space=pl.ANY),  # cand_idx (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # cand_t (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # wald (HBM, manual DMA)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_outputs)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, kp // 8), jnp.int32),
+            pltpu.SMEM((8, kp // 8), jnp.float32),
+            pltpu.VMEM((depth, 16, w3), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
-    def cond(state):
-        k, best_t, *_ = state
-        worst = jnp.max(best_t)
-        more = k < n_cand
-        near_enough = cand_at(t_row, jnp.minimum(k, k_max - 1)) <= worst
-        return more & near_enough
 
-    def body(state):
-        k, best_t, best_u, best_v, best_k, best_slot = state
-        slot = jax.lax.rem(k, depth)
-
-        @pl.when(k + depth - 1 < n_cand)
-        def _():
-            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
-
-        fetch(k, slot).wait()
-        w = scratch[slot]  # [12, S_pad]: rows = input k * 3 + component c
-
-        def affine(c, px, py2, pz, bias):
-            out = px * w[0 + c][None] + py2 * w[3 + c][None] \
-                + pz * w[6 + c][None]
-            if bias:
-                out = out + w[9 + c][None]
-            return out
-
-        op_u = affine(0, ox, oy, oz, True)
-        op_v = affine(1, ox, oy, oz, True)
-        op_z = affine(2, ox, oy, oz, True)
-        dp_u = affine(0, dx, dy, dz3, False)
-        dp_v = affine(1, dx, dy, dz3, False)
-        dz = affine(2, dx, dy, dz3, False)
-        safe = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
-        t = -op_z / safe
-        uu = op_u + t * dp_u
-        vv = op_v + t * dp_v
-        hit = ((jnp.abs(dz) > 1e-12)
-               & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-               & (t > tmin_ref[0, 0][:, None]) & (t < best_t[:, None]))
-        t = jnp.where(hit, t, jnp.inf)
-        # reduce-based winner selection (Mosaic has no 2D fancy gather):
-        # min-t, then the lowest slot achieving it, then one-hot extract u/v
-        tb = jnp.min(t, axis=-1)
-        s_pad = t.shape[-1]
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, s_pad), 1)
-        at_min = t == tb[:, None]
-        new_slot = jnp.min(jnp.where(at_min, slot_iota, jnp.int32(1 << 30)),
-                           axis=-1)
-        one_hot = slot_iota == new_slot[:, None]
-        u_new = jnp.sum(jnp.where(one_hot, uu, 0.0), axis=-1)
-        v_new = jnp.sum(jnp.where(one_hot, vv, 0.0), axis=-1)
-        better = tb < best_t
-        best_t = jnp.where(better, tb, best_t)
-        best_u = jnp.where(better, u_new, best_u)
-        best_v = jnp.where(better, v_new, best_v)
-        best_k = jnp.where(better, k, best_k)
-        best_slot = jnp.where(better, new_slot, best_slot)
-        return k + 1, best_t, best_u, best_v, best_k, best_slot
-
-    k_final, best_t, best_u, best_v, best_k, best_slot = jax.lax.while_loop(
-        cond, body, init)
-
-    # drain: an early exit (entry distance > worst hit) leaves up to
-    # depth-1 prefetches in flight; wait on them or the semaphore counts
-    # leak into the next grid step and the DMA engine aborts
-    for off in range(depth - 1):
-        @pl.when(k_final + off < n_cand)
-        def _(off=off):
-            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
-
-    t_out[0, 0, :] = best_t
-    u_out[0, 0, :] = best_u
-    v_out[0, 0, :] = best_v
-    k_out[0, 0, :] = best_k
-    slot_out[0, 0, :] = best_slot
-
-
-def _occlude_kernel(cand_count_ref,
-                    o_ref, d_ref, tmin_ref, tmax_ref,
-                    cand_idx_hbm, cand_t_hbm, wald_hbm,
-                    hit_out,
-                    idx_row, t_row, scratch, sems, row_sems):
-    """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
-    bundle exits once every live ray is blocked or candidates run out."""
-    p = o_ref.shape[0]
+def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
+                     idx_row, t_row, scratch, sems, row_sems):
+    """Row DMAs + shared helpers. Returns (n_cand, cand_at, fetch, depth)."""
     i = pl.program_id(0)
     n_cand = cand_count_ref[i]
     kr, kc = idx_row.shape
@@ -217,14 +216,131 @@ def _occlude_kernel(cand_count_ref,
         def _(j=j):
             fetch(j, j % depth).start()
 
+    return n_cand, k_max, cand_at, fetch, depth
+
+
+def _bc_i32(x):
+    """Bitcast f32 -> i32; Mosaic has no 1D form, bounce through [1, P]."""
+    return pltpu.bitcast(x.reshape(1, -1), jnp.int32).reshape(-1)
+
+
+def _bc_f32(x):
+    return pltpu.bitcast(x.reshape(1, -1), jnp.float32).reshape(-1)
+
+
+def _intersect_block(w, o_ref, d_ref):
+    """Wald intersection of the whole bundle vs one cluster block.
+    Returns (t, uu, vv, valid) as [P, S_pad] arrays."""
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
     oz = o_ref[:, 2:3]
     dx = d_ref[:, 0:1]
     dy = d_ref[:, 1:2]
     dz3 = d_ref[:, 2:3]
+
+    def affine(c, px, py2, pz, bias):
+        out = px * w[0 + c][None] + py2 * w[3 + c][None] \
+            + pz * w[6 + c][None]
+        if bias:
+            out = out + w[9 + c][None]
+        return out
+
+    op_u = affine(0, ox, oy, oz, True)
+    op_v = affine(1, ox, oy, oz, True)
+    op_z = affine(2, ox, oy, oz, True)
+    dp_u = affine(0, dx, dy, dz3, False)
+    dp_v = affine(1, dx, dy, dz3, False)
+    dz = affine(2, dx, dy, dz3, False)
+    valid = jnp.abs(dz) > 1e-12
+    safe = jnp.where(valid, dz, 1.0)
+    t = -op_z / safe
+    uu = op_u + t * dp_u
+    vv = op_v + t * dp_v
+    return t, uu, vv, valid
+
+
+def _walk_kernel(cand_count_ref,
+                 o_ref, d_ref, tmin_ref, tmax_ref,
+                 cand_idx_hbm, cand_t_hbm, wald_hbm,
+                 key_out, k_out,
+                 idx_row, t_row, scratch, sems, row_sems):
+    """One bundle per grid step; packed-key winner tracking (module doc)."""
+    p = o_ref.shape[0]
+    n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
+        cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
+        idx_row, t_row, scratch, sems, row_sems)
+
+    tn_col = tmin_ref[0, 0][:, None]
+    tx = tmax_ref[0, 0]
+
+    s_pad = scratch.shape[-1]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, s_pad), 1)
+    # init key from per-ray t_max: IEEE bits are monotone for t >= 0; dead
+    # lanes (t_max < 0) get a negative key no hit can beat. Low bits are
+    # SET here (round up) so a real hit at exactly t_max still wins.
+    init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
+
+    init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32))
+
+    def cond(state):
+        k, best_key, _ = state
+        # rounding the cleared slot bits UP keeps the exit conservative
+        worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
+        return (k < n_cand) & (cand_at(t_row, jnp.minimum(k, k_max - 1))
+                               <= worst)
+
+    def body(state):
+        k, best_key, best_k = state
+        slot = jax.lax.rem(k, depth)
+
+        @pl.when(k + depth - 1 < n_cand)
+        def _():
+            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
+
+        fetch(k, slot).wait()
+        t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
+        hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+               & (t > tn_col))
+        key = jnp.where(
+            hit,
+            (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
+            jnp.int32(MISS_KEY))
+        step_key = jnp.min(key, axis=-1)
+        better = step_key < best_key
+        best_key = jnp.minimum(step_key, best_key)
+        best_k = jnp.where(better, k, best_k)
+        return k + 1, best_key, best_k
+
+    k_final, best_key, best_k = jax.lax.while_loop(cond, body, init)
+
+    # drain: an early exit (entry distance > worst hit) leaves up to
+    # depth-1 prefetches in flight; wait on them or the semaphore counts
+    # leak into the next grid step and the DMA engine aborts
+    for off in range(depth - 1):
+        @pl.when(k_final + off < n_cand)
+        def _(off=off):
+            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
+
+    key_out[0, 0, :] = best_key
+    k_out[0, 0, :] = best_k
+
+
+def _occlude_kernel(cand_count_ref,
+                    o_ref, d_ref, tmin_ref, tmax_ref,
+                    cand_idx_hbm, cand_t_hbm, wald_hbm,
+                    hit_out,
+                    idx_row, t_row, scratch, sems, row_sems):
+    """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
+    bundle exits once every live ray is blocked or candidates run out."""
+    p = o_ref.shape[0]
+    n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
+        cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
+        idx_row, t_row, scratch, sems, row_sems)
+
     tn = tmin_ref[0, 0]
     tx = tmax_ref[0, 0]
+    tn_col = tn[:, None]
+    tx_col = tx[:, None]
 
     # padded rays carry t_max < t_min: done from the start. The done mask
     # is carried as int32 (Mosaic cannot yield i1 vectors from loops).
@@ -248,28 +364,9 @@ def _occlude_kernel(cand_count_ref,
             fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
 
         fetch(k, slot).wait()
-        w = scratch[slot]
-
-        def affine(c, px, py2, pz, bias):
-            out = px * w[0 + c][None] + py2 * w[3 + c][None] \
-                + pz * w[6 + c][None]
-            if bias:
-                out = out + w[9 + c][None]
-            return out
-
-        op_u = affine(0, ox, oy, oz, True)
-        op_v = affine(1, ox, oy, oz, True)
-        op_z = affine(2, ox, oy, oz, True)
-        dp_u = affine(0, dx, dy, dz3, False)
-        dp_v = affine(1, dx, dy, dz3, False)
-        dz = affine(2, dx, dy, dz3, False)
-        safe = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
-        t = -op_z / safe
-        uu = op_u + t * dp_u
-        vv = op_v + t * dp_v
-        hit = ((jnp.abs(dz) > 1e-12)
-               & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-               & (t > tn[:, None]) & (t < tx[:, None]))
+        t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
+        hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+               & (t > tn_col) & (t < tx_col))
         return k + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
 
     k_final, done = jax.lax.while_loop(cond, body, init)
@@ -282,7 +379,7 @@ def _occlude_kernel(cand_count_ref,
     hit_out[0, 0, :] = done * (tx > tn).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("bundle_size", "interpret"))
+@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -293,99 +390,36 @@ def occluded_bundle_pallas(
     scene_max: jax.Array,
     bundle_size: int = 64,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
-    lighting_passes/TraceVisibility.glsl semantics)."""
-    from raytracer2_tpu.ops.traverse_bundle import (
-        _bundle_bounds, sort_rays_for_coherence)
-    from raytracer2_tpu.ops.cluster import bundle_cluster_overlap
-
+    lighting_passes/TraceVisibility.glsl semantics). Pass presorted=True
+    when the rays are already coherent (e.g. Z-curve pixel order) to skip
+    the coherence sort + permutation gathers."""
     n_orig = origins.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
-    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
-
-    perm = sort_rays_for_coherence(origins, directions, scene_min, scene_max)
-    inv_perm = jnp.argsort(perm)
-    o = origins[perm]
-    d = directions[perm]
-    tn = t_min[perm]
-    tx = t_max_a[perm]
-
-    pad = (-n_orig) % bundle_size
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
-        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
-        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
-    n = o.shape[0]
-    b = n // bundle_size
+    (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
+     n, b, kp, _) = _prepare_bundles(
+        clusters, origins, directions, t_min, t_max, scene_min, scene_max,
+        bundle_size, presorted)
     p = bundle_size
-
-    tn2 = tn.reshape(-1, 1, p)
-    tx2 = tx.reshape(-1, 1, p)
-    o_min, o_max, inv_lo, inv_hi, bundle_tmax = _bundle_bounds(
-        o, d, tx, bundle_size)
-    may_hit, t_enter = bundle_cluster_overlap(
-        o_min, o_max, inv_lo, inv_hi, bundle_tmax,
-        clusters.aabb_min, clusters.aabb_max)
-    entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
-    order = jnp.argsort(entry, axis=-1)
-    cand_t = jnp.take_along_axis(entry, order, axis=-1)
-    cand_idx = order.astype(jnp.int32)
-    cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
-
     wald = _wald_rows(clusters)
     w3 = wald.shape[-1]
-    k = cand_idx.shape[1]
-    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
-    if kp != k:
-        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
-        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
-                         constant_values=jnp.inf)
-    cand_idx = cand_idx.reshape(b, 8, kp // 8)
-    cand_t = cand_t.reshape(b, 8, kp // 8)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((8, kp // 8), jnp.int32),
-            pltpu.SMEM((8, kp // 8), jnp.float32),
-            pltpu.VMEM((4, 16, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
 
     (hit,) = pl.pallas_call(
         _occlude_kernel,
-        grid_spec=grid_spec,
+        grid_spec=_grid_spec(b, p, kp, w3, depth=4, n_outputs=1),
         out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)],
         interpret=interpret,
-    )(cand_count, o, d, tn2, tx2, cand_idx, cand_t, wald)
-    return hit.reshape(n)[:n_orig][inv_perm].astype(jnp.bool_)
+    )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
+      cand_idx, cand_t, wald)
+    hit = hit.reshape(n)[:n_orig]
+    if perm is not None:
+        hit = hit[jnp.argsort(perm)]
+    return hit.astype(jnp.bool_)
 
 
-@partial(jax.jit, static_argnames=("bundle_size", "interpret"))
+@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -398,131 +432,75 @@ def closest_hit_bundle_pallas(
     scene_max: jax.Array,
     bundle_size: int = 128,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> HitRecord:
-    """Closest-hit via the Pallas walk. Rays are sorted for coherence and
-    culled per bundle exactly like ops/traverse_bundle (same candidate
-    lists); only the walk itself runs in-kernel."""
-    from raytracer2_tpu.ops.traverse_bundle import (
-        _bundle_bounds, sort_rays_for_coherence)
-    from raytracer2_tpu.ops.cluster import bundle_cluster_overlap
-
+    """Closest-hit via the Pallas walk. Rays are sorted for coherence
+    (unless presorted) and culled per bundle exactly like
+    ops/traverse_bundle (same candidate lists); only the walk itself runs
+    in-kernel. Returns the rayhit.rchit payload contract (t, u, v,
+    geometry, primitive; reference src/shaders/common.glsl:23-28)."""
+    assert clusters.cluster_size <= (1 << SLOT_BITS), \
+        "packed winner keys carry the slot in the low 10 bits"
     n_orig = origins.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
-    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
-
-    perm = sort_rays_for_coherence(origins, directions, scene_min, scene_max)
-    inv_perm = jnp.argsort(perm)
-    o = origins[perm]
-    d = directions[perm]
-    tn = t_min[perm]
-    tx = t_max_a[perm]
-
-    pad = (-n_orig) % bundle_size
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
-        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
-        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
-    n = o.shape[0]
-    b = n // bundle_size
-
-    tn2 = tn.reshape(-1, 1, bundle_size)
-    tx2 = tx.reshape(-1, 1, bundle_size)
-    o_min, o_max, inv_lo, inv_hi, bundle_tmax = _bundle_bounds(
-        o, d, tx, bundle_size)
-    may_hit, t_enter = bundle_cluster_overlap(
-        o_min, o_max, inv_lo, inv_hi, bundle_tmax,
-        clusters.aabb_min, clusters.aabb_max)
-    entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
-    order = jnp.argsort(entry, axis=-1)
-    cand_t = jnp.take_along_axis(entry, order, axis=-1)
-    cand_idx = order.astype(jnp.int32)
-    cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
-
+    (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
+     n, b, kp, t_max_orig) = _prepare_bundles(
+        clusters, origins, directions, t_min, t_max, scene_min, scene_max,
+        bundle_size, presorted)
+    p = bundle_size
     wald = _wald_rows(clusters)
     w3 = wald.shape[-1]
-    k = cand_idx.shape[1]
-    p = bundle_size
 
-    # candidate rows as [B, 8, kp/8]: DMA-sliceable (8-aligned leading dim,
-    # lane-multiple rows)
-    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
-    if kp != k:
-        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
-        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
-                         constant_values=jnp.inf)
-    cand_idx_flat = cand_idx  # [B, kp] view for the final triangle gather
-    cand_idx = cand_idx.reshape(b, 8, kp // 8)
-    cand_t = cand_t.reshape(b, 8, kp // 8)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # cand_count
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),  # o
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),  # d
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # t_min
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # t_max
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cand_idx (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cand_t (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # wald (HBM, manual DMA)
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(5)
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((8, kp // 8), jnp.int32),
-            pltpu.SMEM((8, kp // 8), jnp.float32),
-            pltpu.VMEM((4, 16, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    t_flat, u_flat, v_flat, k_flat, slot_flat = pl.pallas_call(
+    key_f, k_f = pl.pallas_call(
         _walk_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, p), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, p), jnp.int32),
-        ],
+        grid_spec=_grid_spec(b, p, kp, w3, depth=4, n_outputs=2),
+        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)] * 2,
         interpret=interpret,
-    )(cand_count, o, d, tn2, tx2, cand_idx, cand_t, wald)
-    t_flat, u_flat, v_flat, k_flat, slot_flat = (
-        x.reshape(n) for x in (t_flat, u_flat, v_flat, k_flat, slot_flat))
+    )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
+      cand_idx, cand_t, wald)
+    key_f = key_f.reshape(n)
+    k_f = k_f.reshape(n)
 
-    # map (bundle, candidate k, slot) -> original triangle
+    # map (bundle, candidate k, key slot) -> original triangle
+    s = clusters.cluster_size
     bundle_of_ray = jnp.arange(n) // p
-    missed = k_flat < 0
-    ci = cand_idx_flat[bundle_of_ray, jnp.maximum(k_flat, 0)]
-    slot3 = jnp.maximum(slot_flat, 0)
-    tri = jnp.where(missed, -1, clusters.tri_index[ci, jnp.minimum(
-        slot3, clusters.cluster_size - 1)])
-    # padded wald columns beyond the real cluster never hit (zero transform),
-    # so slot < cluster_size always holds for hits
+    missed = k_f < 0
+    ci = cand_idx_flat[bundle_of_ray, jnp.maximum(k_f, 0)]
+    slot = jnp.minimum(key_f & SLOT_MASK, s - 1)
+    tri = jnp.where(missed, -1, clusters.tri_index[ci, slot])
 
-    # undo the coherence sort (padding sits at the end, slice first)
-    t_r = t_flat[:n_orig][inv_perm]
-    u_r = u_flat[:n_orig][inv_perm]
-    v_r = v_flat[:n_orig][inv_perm]
-    tri_r = tri[:n_orig][inv_perm]
+    # exact winner re-evaluation: one [12]-row gather + 24 FMAs per ray
+    # (the kernel's packed key drops the low 10 mantissa bits of t)
+    w = _wald_flat(clusters)[ci * s + slot]  # [n, 12]
+    a = w[:, :9].reshape(n, 3, 3)  # rows = inputs (x,y,z), cols = (u,v,z)
+    bias = w[:, 9:12]
+    opv = jnp.einsum("ni,nic->nc", o, a) + bias
+    dpv = jnp.einsum("ni,nic->nc", d, a)
+    safe = jnp.where(jnp.abs(dpv[:, 2]) > 1e-12, dpv[:, 2], 1.0)
+    t_ex = -opv[:, 2] / safe
+    u_ex = opv[:, 0] + t_ex * dpv[:, 0]
+    v_ex = opv[:, 1] + t_ex * dpv[:, 1]
+
+    t_r = jnp.where(missed, 0.0, t_ex)[:n_orig]
+    u_r = jnp.where(missed, 0.0, u_ex)[:n_orig]
+    v_r = jnp.where(missed, 0.0, v_ex)[:n_orig]
+    tri_r = tri[:n_orig]
+    if perm is not None:
+        inv_perm = jnp.argsort(perm)
+        # one packed gather instead of four (see _apply_permutation). The
+        # tri id rides along as a CONVERTED f32 (exact for ids < 2^24) —
+        # NOT a bitcast: small-int bit patterns are f32 denormals and the
+        # TPU flushes those to zero in transit.
+        packed = jnp.stack(
+            [t_r, u_r, v_r, tri_r.astype(jnp.float32)], axis=1)[inv_perm]
+        t_r, u_r, v_r = packed[:, 0], packed[:, 1], packed[:, 2]
+        tri_r = packed[:, 3].astype(jnp.int32)
     missed_r = tri_r < 0
 
-    safe = jnp.maximum(tri_r, 0)
+    safe_tri = jnp.maximum(tri_r, 0)
     geom = jnp.where(missed_r, INVALID_INDEX,
-                     tri_geometry[safe].astype(jnp.uint32))
+                     tri_geometry[safe_tri].astype(jnp.uint32))
     prim = jnp.where(missed_r, jnp.uint32(0),
-                     tri_primitive[safe].astype(jnp.uint32))
+                     tri_primitive[safe_tri].astype(jnp.uint32))
     return HitRecord(
-        t=jnp.where(missed_r, t_max_a, t_r), u=u_r, v=v_r,
+        t=jnp.where(missed_r, t_max_orig, t_r), u=u_r, v=v_r,
         geometry_index=geom, primitive_id=prim, triangle_index=tri_r)

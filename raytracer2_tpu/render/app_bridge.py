@@ -75,15 +75,16 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
-        def closest(o, d, tmin, tmax):
+        def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
-                o, d, tmin, tmax, scene_min, scene_max, bundle_size=256)
+                o, d, tmin, tmax, scene_min, scene_max, bundle_size=256,
+                presorted=presorted)
 
-        def occl(o, d, tmin, tmax):
+        def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                bundle_size=256)
+                bundle_size=256, presorted=presorted)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
@@ -93,12 +94,12 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             cluster_size=min(cluster_size or 64, 16))
         sc = tsm.build_superclusters(clusters, group=16)
 
-        def closest(o, d, tmin, tmax):
+        def closest(o, d, tmin, tmax, presorted=False):
             return tsm.closest_hit_scatter(
                 sc, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax)
 
-        def occl(o, d, tmin, tmax):
+        def occl(o, d, tmin, tmax, presorted=False):
             return tsm.occluded_scatter(sc, o, d, tmin, tmax)
     elif backend == "bundle":
         from raytracer2_tpu.ops.cluster import build_clusters
@@ -110,13 +111,13 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
-        def closest(o, d, tmin, tmax):
+        def closest(o, d, tmin, tmax, presorted=False):
             return tbm.closest_hit_bundle(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
                 sort_rays=sort_secondary)
 
-        def occl(o, d, tmin, tmax):
+        def occl(o, d, tmin, tmax, presorted=False):
             return tbm.occluded_bundle(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
                 sort_rays=sort_secondary)
@@ -124,22 +125,22 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         if bvh is None:
             bvh = build_lbvh(scene.tri_v0, scene.tri_edge1, scene.tri_edge2)
 
-        def closest(o, d, tmin, tmax):
+        def closest(o, d, tmin, tmax, presorted=False):
             return traverse.closest_hit(
                 bvh, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
                 scene.tri_geometry, scene.tri_primitive, o, d, tmin, tmax)
 
-        def occl(o, d, tmin, tmax):
+        def occl(o, d, tmin, tmax, presorted=False):
             return traverse.occluded(
                 bvh, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
                 o, d, tmin, tmax)
     else:
-        def closest(o, d, tmin, tmax):
+        def closest(o, d, tmin, tmax, presorted=False):
             return intersect_brute_force(
                 o, d, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
                 scene.tri_geometry, scene.tri_primitive, tmin, tmax)
 
-        def occl(o, d, tmin, tmax):
+        def occl(o, d, tmin, tmax, presorted=False):
             return occluded_brute_force(
                 o, d, scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
                 tmin, tmax)

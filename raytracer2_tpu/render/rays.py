@@ -7,10 +7,12 @@ shape here).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracer2_tpu.params import BACKGROUND_DEPTH, PlanarViewConstants
 from raytracer2_tpu.utils.brdf import normalize
@@ -30,6 +32,30 @@ def pixel_grid(width: int, height: int) -> tuple[jax.Array, jax.Array]:
     ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
     return xs, ys
+
+
+@lru_cache(maxsize=8)
+def zorder_permutation(width: int, height: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Static Z-curve (Morton) pixel layout: (zidx, inv).
+
+    zidx[j] = linear (row-major) pixel index of the j-th pixel in Z order;
+    inv = argsort(zidx) maps back. Launching per-pixel rays in Z order makes
+    every 256-ray bundle a compact screen tile with a tight frustum — the
+    hardware sweep measured primary rays 11.4 vs 7.6 Mrays/s against the
+    runtime coherence sort, with zero sort cost (both permutations are
+    compile-time constants). Bounce rays keep the runtime sort (their
+    origins scatter in world space; measured 5.2 vs 3.1)."""
+    lin = np.arange(width * height)
+    px = (lin % width).astype(np.uint64)
+    py = (lin // width).astype(np.uint64)
+    code = np.zeros(lin.shape, np.uint64)
+    for b in range(16):
+        code |= ((px >> b) & 1) << (2 * b)
+        code |= ((py >> b) & 1) << (2 * b + 1)
+    zidx = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.argsort(zidx, kind="stable").astype(np.int32)
+    return zidx, inv
 
 
 def setup_primary_ray(pixel_x: jax.Array, pixel_y: jax.Array,

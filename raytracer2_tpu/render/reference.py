@@ -65,9 +65,15 @@ def render_reference(
         textures_enabled = bool(g_const.textures)
     environment = g_const.environment
 
+    # pixels are laid out along a Z-curve so every trace launch sees
+    # screen-tile-coherent ray batches; primary rays skip the runtime
+    # coherence sort entirely (rays.zorder_permutation). Per-pixel RNG and
+    # radiance are keyed by (px, py) values, so the image is bit-identical
+    # to the row-major layout after the final unpermute.
+    zidx, zinv = raysmod.zorder_permutation(width, height)
     px, py = raysmod.pixel_grid(width, height)
-    px = px.reshape(-1)
-    py = py.reshape(-1)
+    px = px.reshape(-1)[zidx]
+    py = py.reshape(-1)[zidx]
     n = px.shape[0]
 
     # RAB_InitRandomSampler(pixel, pass=1) -> frame + 13 (bridge:378-381;
@@ -78,6 +84,19 @@ def render_reference(
 
     primary = raysmod.setup_primary_ray(px, py, g_const.view)
 
+    # tolerate trace_fns without the presorted fast-path hint
+    import inspect
+    try:
+        _accepts_presorted = "presorted" in inspect.signature(
+            trace_fn).parameters
+    except (TypeError, ValueError):
+        _accepts_presorted = False
+    if _accepts_presorted:
+        tf = trace_fn
+    else:
+        def tf(o, d, tn, tx, presorted=False):
+            return trace_fn(o, d, tn, tx)
+
     def sample_body(_, carry):
         radiance, rng_state = carry
         throughput = jnp.ones((n, 3), jnp.float32)
@@ -87,12 +106,13 @@ def render_reference(
         t_min = jnp.full((n,), 0.001, jnp.float32)  # refrence.rgen:27
         t_max = jnp.full((n,), BACKGROUND_DEPTH, jnp.float32)
 
-        def bounce_body(_, bcarry):
+        def bounce_body(bcarry, presorted=False):
             radiance, throughput, active, origin, direction, rng_state = bcarry
             # dead lanes get t_max = -1: the bundle tracer excludes them from
             # bundle bounds and they can never hit (free lane compaction)
             lane_tmax = jnp.where(active, t_max, -1.0)
-            hit = trace_fn(origin, direction, t_min, lane_tmax)
+            hit = tf(origin, direction, t_min, lane_tmax,
+                     presorted=presorted)
             surface, emission = surface_from_hit(
                 scene, origin, direction, hit,
                 textures_enabled=textures_enabled)
@@ -120,16 +140,20 @@ def render_reference(
             active = take
             return radiance, throughput, active, origin, direction, rng_state
 
+        bcarry = (radiance, throughput, active, origin, direction, rng_state)
+        # bounce 0 is peeled out: camera rays are already Z-tile coherent,
+        # so the tracer can skip its runtime sort (presorted=True)
+        if max_bounces >= 1:
+            bcarry = bounce_body(bcarry, presorted=True)
         radiance, _, _, _, _, rng_state = jax.lax.fori_loop(
-            0, max_bounces, bounce_body,
-            (radiance, throughput, active, origin, direction, rng_state))
+            1, max_bounces, lambda _, c: bounce_body(c), bcarry)
         return radiance, rng_state
 
     radiance = jnp.zeros((n, 3), jnp.float32)
     radiance, _ = jax.lax.fori_loop(
         0, max_samples, sample_body, (radiance, rng_state))
 
-    return (radiance / max_samples).reshape(height, width, 3)
+    return (radiance[zinv] / max_samples).reshape(height, width, 3)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
