@@ -1,31 +1,52 @@
-"""Pallas traversal kernels: per-bundle candidate walk with in-kernel DMA.
+"""Pallas traversal kernels: exact per-ray culling + grouped candidate walk.
 
 The XLA bundle walk (ops/traverse_bundle.py) runs all bundles in lockstep —
 every while_loop step pays for every bundle, so one deep bundle stalls the
 whole batch, and each step is a chain of XLA ops with dispatch overhead.
 This kernel moves the walk INSIDE a Pallas program, one grid step per
-bundle:
+bundle. Two generations of candidate generation exist:
+
+- cull="interval" (round 1): conservative interval-arithmetic frustum test
+  per bundle (ops/cluster.py bundle_cluster_overlap). Cheap, but the
+  interval test collapses for incoherent bundles (direction intervals span
+  zero -> every cluster is a candidate: measured 147 candidates/bundle for
+  random rays on an 18.5k-tri corridor where the EXACT per-ray overlap is
+  1.8 clusters).
+- cull="exact" (default): every ray is slab-tested exactly against every
+  cluster AABB (dense [rays, C] VPU map, chunked), rays are sorted by their
+  NEAREST overlapped cluster id (morton tiebreak) so that bundles share
+  candidates, and the per-bundle candidate list is the exact UNION of
+  member overlaps ranked nearest-first by lax.top_k. Measured on the
+  corridor: 147 -> ~20 candidates/bundle for incoherent rays, and miss
+  rays (sky) compact into empty bundles the kernel skips in ~1 us.
+
+Kernel structure (per grid step = one bundle):
 
 - the bundle's rays sit in VMEM, candidate cluster ids + entry distances in
-  SMEM (one small HBM->SMEM copy per bundle, ~1.4 us measured);
+  SMEM (one small HBM->SMEM copy per bundle);
 - cluster Wald blocks are DMA'd from HBM on demand, multi-buffered so the
-  fetch of candidate k+d overlaps the intersection of candidate k (the walk
-  is compute-bound: a no-DMA variant measures identically);
-- the walk terminates per bundle the moment the next candidate's entry
+  fetch of group g+d overlaps the intersection of group g;
+- GROUPED walk: each loop step intersects the bundle against `group`
+  clusters at once ([P, group*S_pad] lanes) — the per-step fixed cost
+  (loop bookkeeping, packed-key reduce, DMA waits) measured ~0.9 us on
+  v5e, far above the ~0.1 us of VPU compute, so wider steps are the main
+  throughput lever;
+- the walk terminates per bundle the moment the next group's best entry
   distance exceeds the bundle's worst committed hit;
 - winner tracking is ONE packed min-reduce per step: for t >= 0 the IEEE
   bit pattern is monotone, so key = (bitcast(t) & ~SLOT_MASK) | slot orders
-  first by t (low mantissa bits dropped) then by slot. The hardware sweep
-  showed the previous iota/one-hot winner chain cost ~1.4 us of the 4.7 us
-  step; the packed form removes it. Exact (t, u, v) of the winning triangle
-  are recovered on the host by re-evaluating one Wald transform per ray
-  from a flat [C*S, 12] gather (measured 11 ms / Mray vs 25 ms for the
-  fancy-indexed form).
+  first by t (low mantissa bits dropped) then by slot. Exact (t, u, v) of
+  the winning triangle are recovered on the host by re-evaluating one Wald
+  transform per ray from a flat [C*S, 12] gather.
 
-The kernel returns (key, candidate k) per ray; the host maps (k, slot) back
-to triangle ids with one gather. Correctness is validated against the
-brute-force oracle in interpret mode and on hardware by
-tests/test_bvh.py::TestPallasTracer.
+The kernel returns (key, group iteration) per ray; the host maps
+(iteration, slot) back to triangle ids with one gather. Correctness is
+validated against the brute-force oracle in interpret mode and on hardware
+by tests/test_bvh.py::TestPallasTracer.
+
+Replaces traceRayEXT / create_acceleration_structure of the reference
+(/root/reference/src/context.rs:824) — the reference gets traversal from
+RT cores; this kernel is the TPU rebuild of that fixed-function unit.
 
 Mosaic gotchas encoded here (hard-won, do not "simplify" away):
 - DMA slices need 8-aligned leading dims + 128-lane rows (candidate rows as
@@ -52,9 +73,16 @@ from raytracer2_tpu.ops.intersect import INVALID_INDEX, HitRecord
 
 LANE_PAD = 128  # pad the per-cluster triangle count to a lane multiple
 
-SLOT_BITS = 10  # cluster_size <= 1024; low key bits carry the winning slot
+SLOT_BITS = 10  # group*S_pad <= 1024; low key bits carry the winning slot
 SLOT_MASK = (1 << SLOT_BITS) - 1
 MISS_KEY = 0x7F000000  # bits of ~1.7e38: above any real hit key
+
+CULL_CHUNK_BYTES = 48 << 20  # bound on the [rays, C] cull intermediates
+
+
+def _s_pad(clusters: Clusters) -> int:
+    s = clusters.cluster_size
+    return ((s + LANE_PAD - 1) // LANE_PAD) * LANE_PAD
 
 
 def _wald_rows(clusters: Clusters) -> jax.Array:
@@ -97,10 +125,102 @@ def _apply_permutation(perm, arrays_3, arrays_1):
     return outs3 + outs1
 
 
+def _pad_rays(o, d, tn, tx, multiple):
+    pad = (-o.shape[0]) % multiple
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
+        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
+        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
+    return o, d, tn, tx
+
+
+def _entry_exact(o, d, tn, tx, amin, amax):
+    """Exact per-ray slab test vs every cluster AABB: [n, C] conservative
+    entry distance, +inf where the ray's [tn, tx] segment misses the box.
+    Dead rays (tx < 0) get all-inf rows."""
+    eps = 1e-12
+    ds = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
+    inv = 1.0 / ds  # [n, 3]
+    t0 = (amin[None] - o[:, None]) * inv[:, None]  # [n, C, 3]
+    t1 = (amax[None] - o[:, None]) * inv[:, None]
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = ((near <= far) & (far >= tn[:, None]) & (near <= tx[:, None])
+           & (tx >= 0.0)[:, None])
+    return jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
+
+
+def _cand0_sort_key(o, d, tn, tx, clusters, scene_min, scene_max):
+    """Per-ray sort key: [nearest exactly-overlapped cluster id | morton
+    tiebreak]. Rays that touch nothing key to C and compact into empty
+    bundles the kernel skips; the morton tiebreak keeps same-cluster rays
+    spatially grouped so 2nd/3rd candidates also shared."""
+    from raytracer2_tpu.ops.traverse_bundle import (
+        _expand_bits)  # morton helper
+
+    n = o.shape[0]
+    c = clusters.num_clusters
+    chunk = max(1024, (CULL_CHUNK_BYTES // (4 * max(c, 1))) // 1024 * 1024)
+    chunk = min(chunk, ((n + 1023) // 1024) * 1024)
+    o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
+
+    def one(args):
+        oo, dd, tnn, txx = args
+        e = _entry_exact(oo, dd, tnn, txx,
+                         clusters.aabb_min, clusters.aabb_max)
+        nearest = jnp.min(e, axis=-1)
+        cand0 = jnp.argmin(e, axis=-1).astype(jnp.uint32)
+        return jnp.where(jnp.isfinite(nearest), cand0, jnp.uint32(c))
+
+    nb = o_p.shape[0] // chunk
+    if nb == 1:
+        cand0 = one((o_p, d_p, tn_p, tx_p))
+    else:
+        cand0 = jax.lax.map(
+            one, (o_p.reshape(nb, chunk, 3), d_p.reshape(nb, chunk, 3),
+                  tn_p.reshape(nb, chunk), tx_p.reshape(nb, chunk))
+        ).reshape(-1)
+    cand0 = cand0[:n]
+
+    # morton tiebreak (octant | origin morton), from the coherence key
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    q = jnp.clip((o - scene_min) / extent, 0.0, 0.999)
+    ocell = (q * 32.0).astype(jnp.uint32)
+    o_morton = (_expand_bits(ocell[:, 0], 5)
+                | (_expand_bits(ocell[:, 1], 5) << 1)
+                | (_expand_bits(ocell[:, 2], 5) << 2))
+    tie = (octant << 15) | o_morton  # 18 bits
+
+    bits_c = max((c + 1).bit_length(), 1)
+    tie_bits = max(32 - bits_c, 0)
+    if tie_bits >= 18:
+        tie_part = tie << (tie_bits - 18)
+    else:
+        tie_part = tie >> (18 - tie_bits)
+    return (cand0 << tie_bits) | tie_part
+
+
+def _rank_rows(cand_idx, cand_t, b, kp):
+    """Pad candidate lists to kp and lay them out as DMA-sliceable rows."""
+    k = cand_idx.shape[1]
+    if kp != k:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
+        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
+                         constant_values=jnp.inf)
+    cand_idx_flat = cand_idx  # [B, kp] view for the final triangle gather
+    return (cand_idx_flat, cand_idx.reshape(b, 8, kp // 8),
+            cand_t.reshape(b, 8, kp // 8))
+
+
 def _prepare_bundles(clusters, origins, directions, t_min, t_max,
                      scene_min, scene_max, bundle_size, presorted):
-    """Shared host-side prep: (optional) coherence sort, padding, per-bundle
-    candidate lists sorted by conservative entry distance."""
+    """Round-1 prep: interval-arithmetic bundle culling (kept as the
+    fallback path and for A/B measurement)."""
     from raytracer2_tpu.ops.traverse_bundle import (
         _bundle_bounds, sort_rays_for_coherence)
 
@@ -117,13 +237,7 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
         o, d, tn, tx = _apply_permutation(perm, [origins, directions],
                                           [t_min, t_max_a])
 
-    pad = (-n_orig) % bundle_size
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))])
-        tn = jnp.concatenate([tn, jnp.zeros((pad,))])
-        tx = jnp.concatenate([tx, jnp.full((pad,), -1.0)])
+    o, d, tn, tx = _pad_rays(o, d, tn, tx, bundle_size)
     n = o.shape[0]
     b = n // bundle_size
 
@@ -138,23 +252,88 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
     cand_idx = order.astype(jnp.int32)
     cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
 
-    # candidate rows as [B, 8, kp/8]: DMA-sliceable (8-aligned leading dim,
-    # lane-multiple rows)
     k = cand_idx.shape[1]
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
-    if kp != k:
-        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, kp - k)))
-        cand_t = jnp.pad(cand_t, ((0, 0), (0, kp - k)),
-                         constant_values=jnp.inf)
-    cand_idx_flat = cand_idx  # [B, kp] view for the final triangle gather
-    cand_idx = cand_idx.reshape(b, 8, kp // 8)
-    cand_t = cand_t.reshape(b, 8, kp // 8)
-
+    cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
     return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
             n, b, kp, t_max_a)
 
 
-def _grid_spec(b, p, kp, w3, depth, n_outputs):
+def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
+                           scene_min, scene_max, bundle_size, presorted,
+                           k_cand):
+    """Exact-cull prep: per-ray slab tests, cand0 ray sort, per-bundle
+    union candidate lists ranked nearest-first (module docstring)."""
+    n_orig = origins.shape[0]
+    p = bundle_size
+    c = clusters.num_clusters
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+    if presorted:
+        perm = None
+        o, d, tn, tx = origins, directions, t_min, t_max_a
+    else:
+        key = _cand0_sort_key(origins, directions, t_min, t_max_a,
+                              clusters, scene_min, scene_max)
+        perm = jnp.argsort(key)
+        o, d, tn, tx = _apply_permutation(perm, [origins, directions],
+                                          [t_min, t_max_a])
+
+    # chunk the [rays, C] cull so Sponza-class cluster counts stay in HBM
+    # budget; chunks are whole bundles
+    cb = max(1, CULL_CHUNK_BYTES // (4 * max(c, 1) * p))
+    n_bundles = (n_orig + p - 1) // p
+    cb = min(cb, n_bundles)
+    o, d, tn, tx = _pad_rays(o, d, tn, tx, cb * p)
+    n = o.shape[0]
+    b = n // p
+
+    k = min(k_cand, c)
+
+    def one(args):
+        oo, dd, tnn, txx = args  # [cb*p, ...]
+        e = _entry_exact(oo, dd, tnn, txx,
+                         clusters.aabb_min, clusters.aabb_max)
+        ue = jnp.min(e.reshape(cb, p, c), axis=1)  # [cb, C] union entry
+        n_union = jnp.sum(jnp.isfinite(ue), axis=-1)
+        neg_t, idx = jax.lax.top_k(-ue, k)  # nearest-first
+        return -neg_t, idx.astype(jnp.int32), n_union.astype(jnp.int32)
+
+    nb = b // cb
+    if nb == 1:
+        cand_t, cand_idx, n_union = one((o, d, tn, tx))
+    else:
+        cand_t, cand_idx, n_union = jax.lax.map(
+            one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
+                  tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
+        cand_t = cand_t.reshape(b, k)
+        cand_idx = cand_idx.reshape(b, k)
+        n_union = n_union.reshape(b)
+
+    cand_count = jnp.minimum(
+        jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
+    overflowed = jnp.any(n_union > k)
+
+    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+    cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
+    return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
+            n, b, kp, t_max_a, overflowed)
+
+
+def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
+          bundle_size, presorted, cull, k_cand):
+    if cull == "exact":
+        out = _prepare_bundles_exact(
+            clusters, origins, directions, t_min, t_max, scene_min,
+            scene_max, bundle_size, presorted, k_cand)
+        return out[:-1]  # overflow flag reserved for telemetry
+    return _prepare_bundles(
+        clusters, origins, directions, t_min, t_max, scene_min, scene_max,
+        bundle_size, presorted)
+
+
+def _grid_spec(b, p, kp, sp, group, depth, n_outputs):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cand_count
         grid=(b,),
@@ -179,16 +358,18 @@ def _grid_spec(b, p, kp, w3, depth, n_outputs):
         scratch_shapes=[
             pltpu.SMEM((8, kp // 8), jnp.int32),
             pltpu.SMEM((8, kp // 8), jnp.float32),
-            pltpu.VMEM((depth, 16, w3), jnp.float32),
-            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.VMEM((depth, 16, group * sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth, group)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
 
 def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-                     idx_row, t_row, scratch, sems, row_sems):
-    """Row DMAs + shared helpers. Returns (n_cand, cand_at, fetch, depth)."""
+                     idx_row, t_row, scratch, sems, row_sems, group):
+    """Row DMAs + shared helpers. Returns (n_cand, k_max, cand_at, fetch,
+    depth). Candidate k maps to walk group k//group, scratch lane block
+    k%group."""
     i = pl.program_id(0)
     n_cand = cand_count_ref[i]
     kr, kc = idx_row.shape
@@ -205,16 +386,23 @@ def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
     def cand_at(ref, k):
         return ref[jax.lax.div(k, kc), jax.lax.rem(k, kc)]
 
-    def fetch(k, slot):
-        ci = cand_at(idx_row, k)
-        return pltpu.make_async_copy(
-            wald_hbm.at[ci], scratch.at[slot], sems.at[slot])
-
     depth = scratch.shape[0]
-    for j in range(depth - 1):
+    sp = scratch.shape[-1] // group
+
+    def fetch(k, g):
+        """DMA for candidate k (a Python/traced scalar) whose group member
+        index g is STATIC (unrolled), into the lane block of its slot."""
+        ci = cand_at(idx_row, k)
+        slot = jax.lax.rem(jax.lax.div(k, group), depth)
+        return pltpu.make_async_copy(
+            wald_hbm.at[ci],
+            scratch.at[slot, :, pl.ds(g * sp, sp)],
+            sems.at[slot, g])
+
+    for j in range(group * (depth - 1)):
         @pl.when(j < n_cand)
         def _(j=j):
-            fetch(j, j % depth).start()
+            fetch(j, j % group).start()
 
     return n_cand, k_max, cand_at, fetch, depth
 
@@ -229,8 +417,8 @@ def _bc_f32(x):
 
 
 def _intersect_block(w, o_ref, d_ref):
-    """Wald intersection of the whole bundle vs one cluster block.
-    Returns (t, uu, vv, valid) as [P, S_pad] arrays."""
+    """Wald intersection of the whole bundle vs one block of clusters.
+    Returns (t, uu, vv, valid) as [P, W] arrays (W = group * S_pad)."""
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
     oz = o_ref[:, 2:3]
@@ -262,19 +450,22 @@ def _intersect_block(w, o_ref, d_ref):
 def _walk_kernel(cand_count_ref,
                  o_ref, d_ref, tmin_ref, tmax_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
-                 key_out, k_out,
-                 idx_row, t_row, scratch, sems, row_sems):
-    """One bundle per grid step; packed-key winner tracking (module doc)."""
+                 key_out, it_out,
+                 idx_row, t_row, scratch, sems, row_sems,
+                 *, group):
+    """One bundle per grid step, `group` clusters per walk iteration;
+    packed-key winner tracking (module doc)."""
     p = o_ref.shape[0]
     n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
         cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-        idx_row, t_row, scratch, sems, row_sems)
+        idx_row, t_row, scratch, sems, row_sems, group)
 
     tn_col = tmin_ref[0, 0][:, None]
     tx = tmax_ref[0, 0]
 
-    s_pad = scratch.shape[-1]
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, s_pad), 1)
+    w_lanes = scratch.shape[-1]  # group * S_pad
+    sp = w_lanes // group
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, w_lanes), 1)
     # init key from per-ray t_max: IEEE bits are monotone for t >= 0; dead
     # lanes (t_max < 0) get a negative key no hit can beat. Low bits are
     # SET here (round up) so a real hit at exactly t_max still wins.
@@ -283,24 +474,31 @@ def _walk_kernel(cand_count_ref,
     init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32))
 
     def cond(state):
-        k, best_key, _ = state
+        it, best_key, _ = state
         # rounding the cleared slot bits UP keeps the exit conservative
         worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
-        return (k < n_cand) & (cand_at(t_row, jnp.minimum(k, k_max - 1))
-                               <= worst)
+        return (it * group < n_cand) & (
+            cand_at(t_row, jnp.minimum(it * group, k_max - 1)) <= worst)
 
     def body(state):
-        k, best_key, best_k = state
-        slot = jax.lax.rem(k, depth)
+        it, best_key, best_it = state
+        slot = jax.lax.rem(it, depth)
 
-        @pl.when(k + depth - 1 < n_cand)
-        def _():
-            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
+        for g in range(group):
+            @pl.when((it + depth - 1) * group + g < n_cand)
+            def _(g=g):
+                fetch((it + depth - 1) * group + g, g).start()
 
-        fetch(k, slot).wait()
+        for g in range(group):
+            @pl.when(it * group + g < n_cand)
+            def _(g=g):
+                fetch(it * group + g, g).wait()
+
         t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
         hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                & (t > tn_col))
+        # lanes of group members beyond n_cand hold stale data: mask them
+        hit &= slot_iota < (n_cand - it * group) * sp
         key = jnp.where(
             hit,
             (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
@@ -308,78 +506,93 @@ def _walk_kernel(cand_count_ref,
         step_key = jnp.min(key, axis=-1)
         better = step_key < best_key
         best_key = jnp.minimum(step_key, best_key)
-        best_k = jnp.where(better, k, best_k)
-        return k + 1, best_key, best_k
+        best_it = jnp.where(better, it, best_it)
+        return it + 1, best_key, best_it
 
-    k_final, best_key, best_k = jax.lax.while_loop(cond, body, init)
+    it_final, best_key, best_it = jax.lax.while_loop(cond, body, init)
 
     # drain: an early exit (entry distance > worst hit) leaves up to
-    # depth-1 prefetches in flight; wait on them or the semaphore counts
-    # leak into the next grid step and the DMA engine aborts
+    # depth-1 group prefetches in flight; wait on them or the semaphore
+    # counts leak into the next grid step and the DMA engine aborts
     for off in range(depth - 1):
-        @pl.when(k_final + off < n_cand)
-        def _(off=off):
-            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
+        for g in range(group):
+            @pl.when((it_final + off) * group + g < n_cand)
+            def _(off=off, g=g):
+                fetch((it_final + off) * group + g, g).wait()
 
     key_out[0, 0, :] = best_key
-    k_out[0, 0, :] = best_k
+    it_out[0, 0, :] = best_it
 
 
 def _occlude_kernel(cand_count_ref,
                     o_ref, d_ref, tmin_ref, tmax_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
-                    idx_row, t_row, scratch, sems, row_sems):
+                    idx_row, t_row, scratch, sems, row_sems,
+                    *, group):
     """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
     bundle exits once every live ray is blocked or candidates run out."""
     p = o_ref.shape[0]
     n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
         cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-        idx_row, t_row, scratch, sems, row_sems)
+        idx_row, t_row, scratch, sems, row_sems, group)
 
     tn = tmin_ref[0, 0]
     tx = tmax_ref[0, 0]
     tn_col = tn[:, None]
     tx_col = tx[:, None]
 
+    w_lanes = scratch.shape[-1]
+    sp = w_lanes // group
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, w_lanes), 1)
+
     # padded rays carry t_max < t_min: done from the start. The done mask
     # is carried as int32 (Mosaic cannot yield i1 vectors from loops).
     init = (jnp.int32(0), (tx <= tn).astype(jnp.int32))
 
     def cond(state):
-        k, done = state
+        it, done = state
         # the farthest t_max among live rays bounds useful candidates; once
         # every ray is done the max is -inf and the walk stops
         worst = jnp.max(jnp.where(done != 0, -jnp.inf, tx))
-        more = k < n_cand
-        near_enough = cand_at(t_row, jnp.minimum(k, k_max - 1)) <= worst
+        more = it * group < n_cand
+        near_enough = cand_at(
+            t_row, jnp.minimum(it * group, k_max - 1)) <= worst
         return more & near_enough
 
     def body(state):
-        k, done = state
-        slot = jax.lax.rem(k, depth)
+        it, done = state
+        slot = jax.lax.rem(it, depth)
 
-        @pl.when(k + depth - 1 < n_cand)
-        def _():
-            fetch(k + depth - 1, jax.lax.rem(k + depth - 1, depth)).start()
+        for g in range(group):
+            @pl.when((it + depth - 1) * group + g < n_cand)
+            def _(g=g):
+                fetch((it + depth - 1) * group + g, g).start()
 
-        fetch(k, slot).wait()
+        for g in range(group):
+            @pl.when(it * group + g < n_cand)
+            def _(g=g):
+                fetch(it * group + g, g).wait()
+
         t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
         hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                & (t > tn_col) & (t < tx_col))
-        return k + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
+        hit &= slot_iota < (n_cand - it * group) * sp
+        return it + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
 
-    k_final, done = jax.lax.while_loop(cond, body, init)
+    it_final, done = jax.lax.while_loop(cond, body, init)
 
     for off in range(depth - 1):
-        @pl.when(k_final + off < n_cand)
-        def _(off=off):
-            fetch(k_final + off, jax.lax.rem(k_final + off, depth)).wait()
+        for g in range(group):
+            @pl.when((it_final + off) * group + g < n_cand)
+            def _(off=off, g=g):
+                fetch((it_final + off) * group + g, g).wait()
 
     hit_out[0, 0, :] = done * (tx > tn).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted"))
+@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
+                                   "cull", "group", "k_cand", "depth"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -391,24 +604,29 @@ def occluded_bundle_pallas(
     bundle_size: int = 64,
     interpret: bool = False,
     presorted: bool = False,
+    cull: str = "exact",
+    group: int = 4,
+    k_cand: int = 256,
+    depth: int = 2,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
     lighting_passes/TraceVisibility.glsl semantics). Pass presorted=True
     when the rays are already coherent (e.g. Z-curve pixel order) to skip
-    the coherence sort + permutation gathers."""
+    the cull-order sort + permutation gathers."""
+    sp = _s_pad(clusters)
+    group = max(1, min(group, (1 << SLOT_BITS) // sp))
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
-     n, b, kp, _) = _prepare_bundles(
+     n, b, kp, _) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted)
+        bundle_size, presorted, cull, k_cand)
     p = bundle_size
     wald = _wald_rows(clusters)
-    w3 = wald.shape[-1]
 
     (hit,) = pl.pallas_call(
-        _occlude_kernel,
-        grid_spec=_grid_spec(b, p, kp, w3, depth=4, n_outputs=1),
+        partial(_occlude_kernel, group=group),
+        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, n_outputs=1),
         out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)],
         interpret=interpret,
     )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
@@ -419,7 +637,8 @@ def occluded_bundle_pallas(
     return hit.astype(jnp.bool_)
 
 
-@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted"))
+@partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
+                                   "cull", "group", "k_cand", "depth"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -433,44 +652,50 @@ def closest_hit_bundle_pallas(
     bundle_size: int = 128,
     interpret: bool = False,
     presorted: bool = False,
+    cull: str = "exact",
+    group: int = 4,
+    k_cand: int = 256,
+    depth: int = 2,
 ) -> HitRecord:
-    """Closest-hit via the Pallas walk. Rays are sorted for coherence
-    (unless presorted) and culled per bundle exactly like
-    ops/traverse_bundle (same candidate lists); only the walk itself runs
-    in-kernel. Returns the rayhit.rchit payload contract (t, u, v,
-    geometry, primitive; reference src/shaders/common.glsl:23-28)."""
-    assert clusters.cluster_size <= (1 << SLOT_BITS), \
-        "packed winner keys carry the slot in the low 10 bits"
+    """Closest-hit via the Pallas walk (module docstring). Returns the
+    rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
+    src/shaders/common.glsl:23-28)."""
+    sp = _s_pad(clusters)
+    group = max(1, min(group, (1 << SLOT_BITS) // sp))
+    assert group * sp <= (1 << SLOT_BITS), \
+        "packed winner keys carry the slot in the low SLOT_BITS bits"
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
-     n, b, kp, t_max_orig) = _prepare_bundles(
+     n, b, kp, t_max_orig) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted)
+        bundle_size, presorted, cull, k_cand)
     p = bundle_size
     wald = _wald_rows(clusters)
-    w3 = wald.shape[-1]
 
-    key_f, k_f = pl.pallas_call(
-        _walk_kernel,
-        grid_spec=_grid_spec(b, p, kp, w3, depth=4, n_outputs=2),
+    key_f, it_f = pl.pallas_call(
+        partial(_walk_kernel, group=group),
+        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, n_outputs=2),
         out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)] * 2,
         interpret=interpret,
     )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
       cand_idx, cand_t, wald)
     key_f = key_f.reshape(n)
-    k_f = k_f.reshape(n)
+    it_f = it_f.reshape(n)
 
-    # map (bundle, candidate k, key slot) -> original triangle
+    # map (bundle, group iteration, key slot) -> original triangle
     s = clusters.cluster_size
     bundle_of_ray = jnp.arange(n) // p
-    missed = k_f < 0
-    ci = cand_idx_flat[bundle_of_ray, jnp.maximum(k_f, 0)]
-    slot = jnp.minimum(key_f & SLOT_MASK, s - 1)
-    tri = jnp.where(missed, -1, clusters.tri_index[ci, slot])
+    missed = it_f < 0
+    slot = key_f & SLOT_MASK
+    g = jnp.minimum(slot // sp, group - 1)
+    tri_slot = jnp.minimum(slot - g * sp, s - 1)
+    cand_k = jnp.minimum(it_f * group + g, kp - 1)
+    ci = cand_idx_flat[bundle_of_ray, jnp.maximum(cand_k, 0)]
+    tri = jnp.where(missed, -1, clusters.tri_index[ci, tri_slot])
 
     # exact winner re-evaluation: one [12]-row gather + 24 FMAs per ray
     # (the kernel's packed key drops the low 10 mantissa bits of t)
-    w = _wald_flat(clusters)[ci * s + slot]  # [n, 12]
+    w = _wald_flat(clusters)[ci * s + tri_slot]  # [n, 12]
     a = w[:, :9].reshape(n, 3, 3)  # rows = inputs (x,y,z), cols = (u,v,z)
     bias = w[:, 9:12]
     opv = jnp.einsum("ni,nic->nc", o, a) + bias

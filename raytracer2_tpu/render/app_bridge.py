@@ -66,25 +66,26 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import pallas_traverse as ptm
 
-        # hardware sweep: 512 tris/cluster amortizes the fixed per-step
-        # cost (incoherent 1.1 -> 2.0 Mrays/s vs 128) and wide bundles
-        # amortize it across rays on coherent batches
+        # hardware sweep (round 2, exact per-ray culling): small clusters
+        # minimize per-candidate waste now that candidate lists are exact
+        # unions; grouped walk steps (group=4) amortize the fixed per-step
+        # cost instead
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size or 512)
+            cluster_size=cluster_size or 64)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
-                o, d, tmin, tmax, scene_min, scene_max, bundle_size=256,
+                o, d, tmin, tmax, scene_min, scene_max, bundle_size=128,
                 presorted=presorted)
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                bundle_size=256, presorted=presorted)
+                bundle_size=128, presorted=presorted)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
