@@ -1,14 +1,23 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Measures ray throughput (Mrays/s/chip) of the jitted reference path tracer
-over the LBVH on a Sponza-class procedural corridor scene — the
-BASELINE.md north-star metric (>= 200 Mrays/s/chip at 1080p / 8 spp).
-Every launch is width*height closest-hit rays; reference mode traces
-spp * bounces launches per frame.
+Headline: ray throughput (Mrays/s/chip) of the jitted reference path tracer
+at the BASELINE.md ladder config #3 — a Sponza-class ~260k-triangle
+procedural corridor at 1920x1080, 8 spp, 5 bounces (the north-star is
+>= 200 Mrays/s/chip there). The run also measures:
+
+- "quick": the 256x256 / 18.5k-tri corridor config benchmarked since round
+  1, for round-over-round comparability;
+- "pipeline": the flagship ReSTIR DI+GI frame graph at 1080p — p50/p95
+  frame time and rays/s (the reference's real-time contract,
+  /root/reference/src/main.rs:653-656);
+- honest ray accounting: nominal rays (W*H*spp*bounces) AND live rays
+  (lanes not yet terminated by a miss), so numbers survive scene changes.
 
 Usage:
-    python bench.py            # full benchmark on the available backend
-    python bench.py --smoke    # tiny/fast correctness smoke (CPU-friendly)
+    python bench.py              # full ladder + quick + pipeline
+    python bench.py --quick      # only the round-1 comparable config
+    python bench.py --smoke      # tiny/fast correctness smoke (CPU-friendly)
+    python bench.py --mode pipeline ...
 """
 
 from __future__ import annotations
@@ -20,25 +29,27 @@ import tempfile
 import time
 from pathlib import Path
 
-BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md)
+BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md, ladder config 3)
 
 
-def run(width: int, height: int, spp: int, bounces: int, frames: int,
-        scene_kind: str, backend: str = "auto") -> dict:
-    import jax
-    import jax.numpy as jnp
+def _build(scene_kind: str, width: int, height: int, backend: str):
+    import jax  # noqa: F401
 
     from raytracer2_tpu.models import procedural as proc
-    from raytracer2_tpu.params import default_gconst
     from raytracer2_tpu.render.frame import create_renderer
-    from raytracer2_tpu.render.reference import render_reference
     from raytracer2_tpu.scene import gltf
     from raytracer2_tpu.scene.camera import default_camera
     from raytracer2_tpu.scene.scene import build_scene
 
     with tempfile.TemporaryDirectory() as d:
         p = Path(d) / "scene.glb"
-        if scene_kind == "corridor":
+        if scene_kind == "ladder":
+            # ~260k tris (BASELINE ladder config 3, Sponza-class)
+            proc.write_glb(p, proc.corridor_glb(
+                segments=24, pillars_per_side=12, lat=34, lon=53))
+            cam = default_camera(window_size=(width, height),
+                                 position=(0, 4, 90), direction=(0, 0, 1))
+        elif scene_kind == "corridor":
             proc.write_glb(p, proc.corridor_glb(
                 segments=12, pillars_per_side=8, lat=12, lon=16))
             cam = default_camera(window_size=(width, height),
@@ -48,94 +59,235 @@ def run(width: int, height: int, spp: int, bounces: int, frames: int,
             cam = default_camera(window_size=(width, height),
                                  position=(0, 0, -12), direction=(0, 0, -1))
         scene = build_scene(gltf.load_file(p))
-
     renderer = create_renderer(scene, width, height, use_bvh=True,
                                backend=backend)
+    return scene, renderer, cam
+
+
+def run_reference(width: int, height: int, spp: int, bounces: int,
+                  frames: int, scene_kind: str,
+                  backend: str = "auto") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.reference import render_reference
+
+    scene, renderer, cam = _build(scene_kind, width, height, backend)
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights, refrence_mode=1)
 
     fn = jax.jit(lambda g: render_reference(
         scene, g, width, height, max_bounces=bounces, max_samples=spp,
-        trace_fn=renderer.tracers.closest_hit))
+        trace_fn=renderer.tracers.closest_hit, with_ray_count=True))
 
     # compile + warmup
-    img = fn(g_const)
+    img, live = fn(g_const)
     jax.block_until_ready(img)
 
     t0 = time.perf_counter()
+    lives = []
     for i in range(frames):
-        img = fn(g_const.replace(frame=jnp.uint32(i + 1)))
+        img, live = fn(g_const.replace(frame=jnp.uint32(i + 1)))
+        lives.append(live)  # device values; read back after timing
     jax.block_until_ready(img)
     elapsed = time.perf_counter() - t0
+    total_live = sum(int(v) for v in lives)
 
-    rays = width * height * spp * bounces * frames
-    mrays = rays / elapsed / 1e6
+    nominal = width * height * spp * bounces * frames
+    mrays = nominal / elapsed / 1e6
     return {
-        "metric": "reference_path_tracer_mrays_per_sec_per_chip",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-        "detail": {
-            "scene": scene_kind,
-            "triangles": scene.num_triangles,
-            "resolution": f"{width}x{height}",
-            "spp": spp,
-            "bounces": bounces,
-            "frames": frames,
-            "seconds": round(elapsed, 3),
-            "platform": jax.devices()[0].platform,
-            "backend": backend,
-        },
+        "mrays_nominal": round(mrays, 3),
+        "mrays_live": round(total_live / elapsed / 1e6, 3),
+        "scene": scene_kind,
+        "triangles": scene.num_triangles,
+        "resolution": f"{width}x{height}",
+        "spp": spp,
+        "bounces": bounces,
+        "frames": frames,
+        "seconds": round(elapsed, 3),
+        "rays_nominal": nominal,
+        "rays_live": total_live,
+        "platform": jax.devices()[0].platform,
+        "backend": backend,
     }
+
+
+def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
+                 backend: str = "auto", per_pass: bool = False) -> dict:
+    """Flagship ReSTIR DI+GI frame graph: p50/p95 frame time + rays/s.
+    per_pass=True additionally times cumulative pass prefixes (each a
+    separately jitted frame stopped after pass k) and reports diffs."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import init_frame_state, render_frame
+    from raytracer2_tpu.utils.profiler import count_frame_rays
+
+    scene, renderer, cam = _build(scene_kind, width, height, backend)
+    g_const = default_gconst(
+        cam.planar_view_constants(),
+        renderer.scene_lights.num_local_lights)
+    state = init_frame_state(width, height)
+
+    fn = jax.jit(lambda g, s: render_frame(renderer, g, s))
+    state1, img = fn(g_const, state)
+    jax.block_until_ready(img)
+
+    times = []
+    s = state
+    for i in range(frames):
+        t0 = time.perf_counter()
+        s, img = fn(g_const.replace(frame=jnp.uint32(i + 1)), s)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+    times_ms = np.asarray(times) * 1e3
+    p50 = float(np.percentile(times_ms, 50))
+    rays = count_frame_rays(g_const, width, height)
+
+    out = {
+        "p50_ms": round(p50, 2),
+        "p95_ms": round(float(np.percentile(times_ms, 95)), 2),
+        "rays_per_frame": rays,
+        "mrays_nominal": round(rays / (p50 / 1e3) / 1e6, 3),
+        "scene": scene_kind,
+        "triangles": scene.num_triangles,
+        "resolution": f"{width}x{height}",
+        "frames": frames,
+        "platform": jax.devices()[0].platform,
+        "backend": backend,
+    }
+
+    if per_pass:
+        from raytracer2_tpu.render.frame import FRAME_PASSES
+
+        breakdown = {}
+        prev = 0.0
+        for stop in FRAME_PASSES:
+            pfn = jax.jit(lambda g, s, stop=stop: render_frame(
+                renderer, g, s, stop_after=stop))
+            out_s = pfn(g_const, state)
+            jax.block_until_ready(out_s)
+            ts = []
+            for i in range(max(frames // 2, 2)):
+                t0 = time.perf_counter()
+                r = pfn(g_const.replace(frame=jnp.uint32(i + 1)), state)
+                jax.block_until_ready(r)
+                ts.append(time.perf_counter() - t0)
+            cum = float(np.percentile(np.asarray(ts) * 1e3, 50))
+            breakdown[stop] = round(max(cum - prev, 0.0), 2)
+            prev = max(cum, prev)
+        out["per_pass_ms"] = breakdown
+    return out
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
                         help="tiny fast run (CPU-friendly)")
+    parser.add_argument("--quick", action="store_true",
+                        help="only the 256x256 round-1-comparable config")
+    parser.add_argument("--mode", default="all",
+                        choices=["all", "reference", "pipeline"])
+    parser.add_argument("--per-pass", action="store_true",
+                        help="per-pass breakdown in pipeline mode")
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--spp", type=int, default=None)
     parser.add_argument("--bounces", type=int, default=None)
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--scene", default=None,
-                        choices=["corridor", "cornell"])
+                        choices=["ladder", "corridor", "cornell"])
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "bundle", "bundle_pallas",
                                  "scatter", "lbvh", "brute"])
     args = parser.parse_args()
 
-    if args.smoke:
-        cfg = dict(width=64, height=64, spp=1, bounces=2, frames=2,
-                   scene_kind="cornell")
-    else:
-        cfg = dict(width=256, height=256, spp=2, bounces=3, frames=8,
-                   scene_kind="corridor")
-    if args.width:
-        cfg["width"] = args.width
-    if args.height:
-        cfg["height"] = args.height
-    if args.spp:
-        cfg["spp"] = args.spp
-    if args.bounces:
-        cfg["bounces"] = args.bounces
-    if args.frames:
-        cfg["frames"] = args.frames
-    if args.scene:
-        cfg["scene_kind"] = args.scene
-    cfg["backend"] = args.backend
+    detail: dict = {}
 
-    # the TPU relay on this box occasionally drops the first client after
-    # another process exits; retry the whole run once on runtime errors
-    try:
-        result = run(**cfg)
-    except Exception as e:  # noqa: BLE001 - emit a diagnostic line, retry
-        print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
-              file=sys.stderr)
-        time.sleep(30)
-        result = run(**cfg)
-    print(json.dumps(result))
+    def ref_cfg(**kw):
+        cfg = dict(width=args.width or kw["width"],
+                   height=args.height or kw["height"],
+                   spp=args.spp or kw["spp"],
+                   bounces=args.bounces or kw["bounces"],
+                   frames=args.frames or kw["frames"],
+                   scene_kind=args.scene or kw["scene_kind"],
+                   backend=args.backend)
+        return cfg
+
+    def attempt(fn, /, **cfg):
+        # the TPU relay on this box occasionally drops the first client
+        # after another process exits; retry once on runtime errors.
+        # A stage that fails twice reports its error instead of killing
+        # the whole bench (later stages still run).
+        try:
+            return fn(**cfg)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench attempt failed ({type(e).__name__}); retrying",
+                  file=sys.stderr)
+            time.sleep(30)
+            try:
+                return fn(**cfg)
+            except Exception as e2:  # noqa: BLE001
+                print(f"bench stage failed: {e2!r}"[:500], file=sys.stderr)
+                return {"error": f"{type(e2).__name__}: {e2}"[:200]}
+
+    if args.smoke:
+        detail["quick"] = attempt(run_reference, **ref_cfg(
+            width=64, height=64, spp=1, bounces=2, frames=2,
+            scene_kind="cornell"))
+        headline = ("smoke_reference_mrays_per_sec_per_chip",
+                    detail["quick"]["mrays_nominal"])
+    elif args.quick:
+        detail["quick"] = attempt(run_reference, **ref_cfg(
+            width=256, height=256, spp=2, bounces=3, frames=8,
+            scene_kind="corridor"))
+        headline = ("reference_path_tracer_mrays_per_sec_per_chip",
+                    detail["quick"]["mrays_nominal"])
+    else:
+        if args.mode in ("all", "reference"):
+            detail["quick"] = attempt(run_reference, **ref_cfg(
+                width=256, height=256, spp=2, bounces=3, frames=8,
+                scene_kind="corridor"))
+            detail["ladder"] = attempt(run_reference, **ref_cfg(
+                width=1920, height=1080, spp=8, bounces=5, frames=2,
+                scene_kind="ladder"))
+        if args.mode in ("all", "pipeline"):
+            detail["pipeline"] = attempt(
+                run_pipeline,
+                width=args.width or 1920, height=args.height or 1080,
+                frames=args.frames or 4,
+                scene_kind=args.scene or "ladder",
+                backend=args.backend, per_pass=args.per_pass)
+        if args.mode == "pipeline":
+            headline = ("restir_pipeline_p50_frame_ms",
+                        detail["pipeline"].get("p50_ms", 0.0))
+        elif "mrays_nominal" in detail.get("ladder", {}):
+            headline = ("ladder_reference_mrays_per_sec_per_chip",
+                        detail["ladder"]["mrays_nominal"])
+        else:  # ladder failed: fall back to the quick number
+            headline = ("reference_path_tracer_mrays_per_sec_per_chip",
+                        detail.get("quick", {}).get("mrays_nominal", 0.0))
+
+    name, value = headline
+    if "p50" in name:
+        # latency headline: vs 16 ms frame budget (BASELINE.md)
+        vs = round(16.0 / max(value, 1e-9), 4)
+        unit = "ms"
+    else:
+        vs = round(value / BASELINE_MRAYS, 4)
+        unit = "Mrays/s"
+    print(json.dumps({
+        "metric": name,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs,
+        "detail": detail,
+    }))
     return 0
 
 

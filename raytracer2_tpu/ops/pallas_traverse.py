@@ -12,13 +12,21 @@ bundle. Two generations of candidate generation exist:
   zero -> every cluster is a candidate: measured 147 candidates/bundle for
   random rays on an 18.5k-tri corridor where the EXACT per-ray overlap is
   1.8 clusters).
-- cull="exact" (default): every ray is slab-tested exactly against every
+- cull="exact": every ray is slab-tested exactly against every
   cluster AABB (dense [rays, C] VPU map, chunked), rays are sorted by their
   NEAREST overlapped cluster id (morton tiebreak) so that bundles share
   candidates, and the per-bundle candidate list is the exact UNION of
   member overlaps ranked nearest-first by lax.top_k. Measured on the
   corridor: 147 -> ~20 candidates/bundle for incoherent rays, and miss
   rays (sky) compact into empty bundles the kernel skips in ~1 us.
+- cull="hier" (EXPERIMENTAL, not reachable from "auto"): two-level version
+  of "exact" — the dense per-ray pass runs against C/m_super supercluster
+  AABBs, then only clusters inside a bundle's k_sc nearest superclusters
+  are refined exactly. ~k_sc*m_super/C of the dense cull cost, BUT the
+  per-bundle k_sc truncation measured 3-10% false misses on a 260k-tri
+  scene (incoherent bundles overlap more SCs than any fixed k_sc): keep
+  off the default path until a per-bundle overflow fallback exists.
+- cull="auto" (default): "exact" (correct at every size).
 
 Kernel structure (per grid step = one bundle):
 
@@ -139,37 +147,44 @@ def _pad_rays(o, d, tn, tx, multiple):
 def _entry_exact(o, d, tn, tx, amin, amax):
     """Exact per-ray slab test vs every cluster AABB: [n, C] conservative
     entry distance, +inf where the ray's [tn, tx] segment misses the box.
-    Dead rays (tx < 0) get all-inf rows."""
+    Dead rays (tx < 0) get all-inf rows. Axes are unrolled by hand so every
+    intermediate is rank-2 [n, C] — the broadcast [n, C, 3] form defeated
+    XLA fusion and went HBM-bound (measured ~2x slower)."""
     eps = 1e-12
     ds = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
     inv = 1.0 / ds  # [n, 3]
-    t0 = (amin[None] - o[:, None]) * inv[:, None]  # [n, C, 3]
-    t1 = (amax[None] - o[:, None]) * inv[:, None]
-    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    near = jnp.full(o.shape[:1] + amin.shape[:1], -jnp.inf, jnp.float32)
+    far = jnp.full(o.shape[:1] + amin.shape[:1], jnp.inf, jnp.float32)
+    for ax in range(3):
+        ia = inv[:, ax:ax + 1]
+        oa = o[:, ax:ax + 1]
+        t0 = (amin[None, :, ax] - oa) * ia  # [n, C]
+        t1 = (amax[None, :, ax] - oa) * ia
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
     hit = ((near <= far) & (far >= tn[:, None]) & (near <= tx[:, None])
            & (tx >= 0.0)[:, None])
     return jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
 
 
-def _cand0_sort_key(o, d, tn, tx, clusters, scene_min, scene_max):
-    """Per-ray sort key: [nearest exactly-overlapped cluster id | morton
-    tiebreak]. Rays that touch nothing key to C and compact into empty
-    bundles the kernel skips; the morton tiebreak keeps same-cluster rays
+def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
+    """Per-ray sort key: [nearest exactly-overlapped box id | morton
+    tiebreak]. Boxes are cluster AABBs (exact cull) or supercluster AABBs
+    (hier cull). Rays that touch nothing key to C and compact into empty
+    bundles the kernel skips; the morton tiebreak keeps same-box rays
     spatially grouped so 2nd/3rd candidates also shared."""
     from raytracer2_tpu.ops.traverse_bundle import (
         _expand_bits)  # morton helper
 
     n = o.shape[0]
-    c = clusters.num_clusters
+    c = amin.shape[0]
     chunk = max(1024, (CULL_CHUNK_BYTES // (4 * max(c, 1))) // 1024 * 1024)
     chunk = min(chunk, ((n + 1023) // 1024) * 1024)
     o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
 
     def one(args):
         oo, dd, tnn, txx = args
-        e = _entry_exact(oo, dd, tnn, txx,
-                         clusters.aabb_min, clusters.aabb_max)
+        e = _entry_exact(oo, dd, tnn, txx, amin, amax)
         nearest = jnp.min(e, axis=-1)
         cand0 = jnp.argmin(e, axis=-1).astype(jnp.uint32)
         return jnp.where(jnp.isfinite(nearest), cand0, jnp.uint32(c))
@@ -275,7 +290,8 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
         o, d, tn, tx = origins, directions, t_min, t_max_a
     else:
         key = _cand0_sort_key(origins, directions, t_min, t_max_a,
-                              clusters, scene_min, scene_max)
+                              clusters.aabb_min, clusters.aabb_max,
+                              scene_min, scene_max)
         perm = jnp.argsort(key)
         o, d, tn, tx = _apply_permutation(perm, [origins, directions],
                                           [t_min, t_max_a])
@@ -321,8 +337,224 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
             n, b, kp, t_max_a, overflowed)
 
 
+def _supercluster_boxes(clusters: Clusters, m: int):
+    """Group M consecutive clusters (the SAH builder emits tree order, so
+    neighbors are spatially close) into supercluster AABBs [SC, 3]. Empty
+    clusters carry never-hit boxes (1e30/-1e30) that vanish in the union."""
+    c = clusters.num_clusters
+    sc = (c + m - 1) // m
+    pad = sc * m - c
+    amin = jnp.pad(clusters.aabb_min, ((0, pad), (0, 0)),
+                   constant_values=1e30)
+    amax = jnp.pad(clusters.aabb_max, ((0, pad), (0, 0)),
+                   constant_values=-1e30)
+    return (amin.reshape(sc, m, 3).min(1), amax.reshape(sc, m, 3).max(1))
+
+
+def _hier_sort_key(o, d, tn, tx, clusters, sc_min, sc_max, m,
+                   scene_min, scene_max):
+    """Cluster-granularity sort key without the dense [n, C] pass: find each
+    ray's nearest supercluster ([n, SC] dense), then its nearest cluster
+    WITHIN that supercluster ([n, m] gather-test). Grouping rays by nearest
+    cluster (not SC) is what keeps bundle unions small enough for the k_sc
+    cap — SC-level sorting measured 18% false misses on a 260k-tri scene,
+    cluster-level < 0.1%."""
+    from raytracer2_tpu.ops.traverse_bundle import _expand_bits
+
+    n = o.shape[0]
+    c = clusters.num_clusters
+    n_sc = sc_min.shape[0]
+    chunk = max(1024,
+                (CULL_CHUNK_BYTES // (4 * max(n_sc + m, 1))) // 1024 * 1024)
+    chunk = min(chunk, ((n + 1023) // 1024) * 1024)
+    o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
+
+    def one(args):
+        oo, dd, tnn, txx = args
+        e_sc = _entry_exact(oo, dd, tnn, txx, sc_min, sc_max)
+        sc0 = jnp.argmin(e_sc, axis=-1)
+        any_sc = jnp.isfinite(jnp.min(e_sc, axis=-1))
+        cl = jnp.minimum(sc0[:, None] * m + jnp.arange(m)[None, :], c - 1)
+        e_cl = _entry_exact_rows(oo, dd, tnn, txx,
+                                 clusters.aabb_min[cl],
+                                 clusters.aabb_max[cl])
+        local = jnp.argmin(e_cl, axis=-1)
+        any_cl = jnp.isfinite(jnp.min(e_cl, axis=-1))
+        # rays overlapping the SC box but none of its clusters keep the
+        # SC-granularity key; rays touching nothing compact to the end
+        cand0 = jnp.where(any_cl, sc0 * m + local, sc0 * m)
+        return jnp.where(any_sc, cand0, c).astype(jnp.uint32)
+
+    nb = o_p.shape[0] // chunk
+    if nb == 1:
+        cand0 = one((o_p, d_p, tn_p, tx_p))
+    else:
+        cand0 = jax.lax.map(
+            one, (o_p.reshape(nb, chunk, 3), d_p.reshape(nb, chunk, 3),
+                  tn_p.reshape(nb, chunk), tx_p.reshape(nb, chunk))
+        ).reshape(-1)
+    cand0 = cand0[:n]
+
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    q = jnp.clip((o - scene_min) / extent, 0.0, 0.999)
+    ocell = (q * 32.0).astype(jnp.uint32)
+    o_morton = (_expand_bits(ocell[:, 0], 5)
+                | (_expand_bits(ocell[:, 1], 5) << 1)
+                | (_expand_bits(ocell[:, 2], 5) << 2))
+    tie = (octant << 15) | o_morton  # 18 bits
+
+    bits_c = max((c + 1).bit_length(), 1)
+    tie_bits = max(32 - bits_c, 0)
+    if tie_bits >= 18:
+        tie_part = tie << (tie_bits - 18)
+    else:
+        tie_part = tie >> (18 - tie_bits)
+    return (cand0 << tie_bits) | tie_part
+
+
+def _entry_exact_rows(o, d, tn, tx, amin, amax):
+    """Per-ray slab test against per-ray box rows: o [n,3], amin [n,K,3]
+    -> [n, K] entry distances (+inf on miss). Axis-unrolled like
+    _entry_exact."""
+    eps = 1e-12
+    ds = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
+    inv = 1.0 / ds  # [n, 3]
+    k = amin.shape[1]
+    near = jnp.full((o.shape[0], k), -jnp.inf, jnp.float32)
+    far = jnp.full((o.shape[0], k), jnp.inf, jnp.float32)
+    for ax in range(3):
+        ia = inv[:, ax:ax + 1]
+        oa = o[:, ax:ax + 1]
+        t0 = (amin[:, :, ax] - oa) * ia  # [n, K]
+        t1 = (amax[:, :, ax] - oa) * ia
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hit = ((near <= far) & (far >= tn[:, None]) & (near <= tx[:, None])
+           & (tx >= 0.0)[:, None])
+    return jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
+
+
+def _prepare_bundles_hier(clusters, origins, directions, t_min, t_max,
+                          scene_min, scene_max, bundle_size, presorted,
+                          k_cand, m_super, k_sc):
+    """Two-level exact cull for large scenes: the dense per-ray slab pass
+    runs against SC = C/m_super supercluster AABBs, then refines only the
+    clusters inside each bundle's k_sc nearest superclusters. Candidate
+    quality matches the flat exact cull (per-ray exact cluster entries,
+    union per bundle, nearest-first) at ~C/(k_sc*m_super) of its cost."""
+    n_orig = origins.shape[0]
+    p = bundle_size
+    c = clusters.num_clusters
+    sc_min, sc_max = _supercluster_boxes(clusters, m_super)
+    n_sc = sc_min.shape[0]
+    k_sc = min(k_sc, n_sc)
+    kk = k_sc * m_super  # clusters refined per bundle
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+    if presorted:
+        perm = None
+        o, d, tn, tx = origins, directions, t_min, t_max_a
+    else:
+        key = _hier_sort_key(origins, directions, t_min, t_max_a, clusters,
+                             sc_min, sc_max, m_super, scene_min, scene_max)
+        perm = jnp.argsort(key)
+        o, d, tn, tx = _apply_permutation(perm, [origins, directions],
+                                          [t_min, t_max_a])
+
+    # chunk whole bundles so the [cb*p, kk] refine intermediate stays small
+    cb = max(1, CULL_CHUNK_BYTES // (4 * max(kk, n_sc) * p))
+    n_bundles = (n_orig + p - 1) // p
+    cb = min(cb, n_bundles)
+    o, d, tn, tx = _pad_rays(o, d, tn, tx, cb * p)
+    n = o.shape[0]
+    b = n // p
+
+    k = min(k_cand, kk)
+
+    def one(args):
+        oo, dd, tnn, txx = args  # [cb*p, ...]
+        # level 1: dense supercluster cull + per-bundle SC union
+        e_sc = _entry_exact(oo, dd, tnn, txx, sc_min, sc_max)
+        ue_sc = jnp.min(e_sc.reshape(cb, p, n_sc), axis=1)  # [cb, SC]
+        sc_neg, sc_idx = jax.lax.top_k(-ue_sc, k_sc)  # nearest-first
+        sc_dropped = jnp.sum(jnp.isfinite(ue_sc), axis=-1) > k_sc
+        # level 2: exact per-ray entries for the selected SCs' clusters
+        cl = (sc_idx[:, :, None] * m_super
+              + jnp.arange(m_super)[None, None, :]).reshape(cb, kk)
+        cl = jnp.minimum(cl, c - 1).astype(jnp.int32)
+        amin = clusters.aabb_min[cl]  # [cb, kk, 3]
+        amax = clusters.aabb_max[cl]
+        oo_b = oo.reshape(cb, p, 3)
+        dd_b = dd.reshape(cb, p, 3)
+        eps = 1e-12
+        ds = jnp.where(jnp.abs(dd_b) < eps,
+                       jnp.where(dd_b >= 0, eps, -eps), dd_b)
+        inv = 1.0 / ds
+        # axes unrolled: rank-3 [cb, p, kk] intermediates only (the rank-4
+        # broadcast form defeats XLA fusion; see _entry_exact)
+        near = jnp.full((cb, p, kk), -jnp.inf, jnp.float32)
+        far = jnp.full((cb, p, kk), jnp.inf, jnp.float32)
+        for ax in range(3):
+            ia = inv[:, :, ax:ax + 1]
+            oa = oo_b[:, :, ax:ax + 1]
+            t0 = (amin[:, None, :, ax] - oa) * ia  # [cb, p, kk]
+            t1 = (amax[:, None, :, ax] - oa) * ia
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        tnn_b = tnn.reshape(cb, p)
+        txx_b = txx.reshape(cb, p)
+        hit = ((near <= far) & (far >= tnn_b[..., None])
+               & (near <= txx_b[..., None]) & (txx_b >= 0.0)[..., None])
+        e = jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
+        # clusters of unselected (inf-entry) SCs are stale gathers: mask
+        sc_ok = jnp.isfinite(-sc_neg)  # [cb, k_sc]
+        e = jnp.where(jnp.repeat(sc_ok, m_super, axis=-1)[:, None, :],
+                      e, jnp.inf)
+        ue = jnp.min(e, axis=1)  # [cb, kk] union entry per cluster
+        n_union = jnp.sum(jnp.isfinite(ue), axis=-1)
+        neg_t, ii = jax.lax.top_k(-ue, k)
+        cand_idx = jnp.take_along_axis(cl, ii, axis=1)
+        return (-neg_t, cand_idx, n_union.astype(jnp.int32), sc_dropped)
+
+    nb = b // cb
+    if nb == 1:
+        cand_t, cand_idx, n_union, sc_dropped = one((o, d, tn, tx))
+    else:
+        cand_t, cand_idx, n_union, sc_dropped = jax.lax.map(
+            one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
+                  tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
+        cand_t = cand_t.reshape(b, k)
+        cand_idx = cand_idx.reshape(b, k)
+        n_union = n_union.reshape(b)
+        sc_dropped = sc_dropped.reshape(b)
+
+    cand_count = jnp.minimum(
+        jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
+    overflowed = jnp.any(n_union > k) | jnp.any(sc_dropped)
+
+    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+    cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
+    return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
+            n, b, kp, t_max_a, overflowed)
+
+
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-          bundle_size, presorted, cull, k_cand):
+          bundle_size, presorted, cull, k_cand, m_super, k_sc):
+    if cull == "auto":
+        # "hier" stays experimental: its per-bundle k_sc supercluster
+        # truncation measured 3-10% false misses on a 260k-tri scene (the
+        # bundle union at SC granularity overflows any fixed k_sc), so
+        # correctness keeps the flat exact cull the default at every size
+        cull = "exact"
+    if cull == "hier":
+        out = _prepare_bundles_hier(
+            clusters, origins, directions, t_min, t_max, scene_min,
+            scene_max, bundle_size, presorted, k_cand, m_super, k_sc)
+        return out[:-1]
     if cull == "exact":
         out = _prepare_bundles_exact(
             clusters, origins, directions, t_min, t_max, scene_min,
@@ -592,7 +824,8 @@ def _occlude_kernel(cand_count_ref,
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
-                                   "cull", "group", "k_cand", "depth"))
+                                   "cull", "group", "k_cand", "depth",
+                                   "m_super", "k_sc"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -604,10 +837,12 @@ def occluded_bundle_pallas(
     bundle_size: int = 64,
     interpret: bool = False,
     presorted: bool = False,
-    cull: str = "exact",
+    cull: str = "auto",
     group: int = 4,
     k_cand: int = 256,
     depth: int = 2,
+    m_super: int = 32,
+    k_sc: int = 12,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -620,7 +855,7 @@ def occluded_bundle_pallas(
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
 
@@ -638,7 +873,8 @@ def occluded_bundle_pallas(
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
-                                   "cull", "group", "k_cand", "depth"))
+                                   "cull", "group", "k_cand", "depth",
+                                   "m_super", "k_sc"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -652,10 +888,12 @@ def closest_hit_bundle_pallas(
     bundle_size: int = 128,
     interpret: bool = False,
     presorted: bool = False,
-    cull: str = "exact",
+    cull: str = "auto",
     group: int = 4,
     k_cand: int = 256,
     depth: int = 2,
+    m_super: int = 32,
+    k_sc: int = 12,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -668,7 +906,7 @@ def closest_hit_bundle_pallas(
     (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
      n, b, kp, t_max_orig) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
 

@@ -66,13 +66,13 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import pallas_traverse as ptm
 
-        # hardware sweep (round 2, exact per-ray culling): small clusters
-        # minimize per-candidate waste now that candidate lists are exact
-        # unions; grouped walk steps (group=4) amortize the fixed per-step
-        # cost instead
+        # hardware sweep (round 2, 260k-tri ladder scene): cluster_size 128
+        # beats 64 (the dense [rays, C] exact cull scales with C; 1.3 ->
+        # 3.6 Mrays/s incoherent) and sidesteps a pathological native-SAH
+        # build slowdown at size 64 on large scenes (215 s -> 2 s)
         clusters = build_clusters(
             scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size or 64)
+            cluster_size=cluster_size or 128)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 

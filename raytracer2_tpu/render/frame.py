@@ -66,8 +66,9 @@ def init_frame_state(width: int, height: int) -> FrameState:
 
 class Renderer(NamedTuple):
     """Per-scene immutable resources: scene arrays, traversal closures,
-    light table, neighbor offsets. Built once at load (the reference's
-    frame-1 prepare/presample/mip block, main.rs:663-697)."""
+    light table, neighbor offsets, presampled RIS buffers. Built once at
+    load (the reference's frame-1 prepare/presample/mip block,
+    main.rs:663-697 + light_passes.rs:538-547)."""
 
     scene: Scene
     tracers: Tracers
@@ -75,39 +76,118 @@ class Renderer(NamedTuple):
     neighbor_offsets: jax.Array
     width: int
     height: int
+    # RIS tiles (presample_locallights/environment.comp): local tiles at
+    # segment offset 0, environment tiles appended (GConst's
+    # *_risbuffer_segment_params layout). None when presampling is off.
+    ris_buffer: jax.Array | None = None
+    # ReGIR world-space grid (local_light_sampling_mode == 2)
+    regir_ris_buffer: jax.Array | None = None
+    regir_params: object | None = None
 
     def light_ctx(self, g_const: GConst,
                   ris_buffer=None) -> LightSamplingContext:
+        if ris_buffer is None:
+            ris_buffer = self.ris_buffer
+        mode = (g_const.restir_di.initial_sampling_params
+                .local_light_sampling_mode)
+        has_buffers = (ris_buffer is not None
+                       or (mode == 2 and self.regir_ris_buffer is not None))
         return LightSamplingContext(
             lights=self.scene_lights.lights,
             light_buffer_params=g_const.light_buffer_params,
-            local_light_sampling_mode=(
-                g_const.restir_di.initial_sampling_params
-                .local_light_sampling_mode),
-            enable_presampling=ris_buffer is not None,
+            local_light_sampling_mode=mode,
+            enable_presampling=has_buffers,
             ris_buffer=ris_buffer,
             local_ris_params=g_const.local_lights_risbuffer_segment_params,
             env_ris_params=g_const.environment_light_risbuffer_segment_params,
+            regir_ris_buffer=self.regir_ris_buffer,
+            regir_params=self.regir_params,
         )
+
+
+def make_regir_params(scene: Scene, cells: tuple[int, int, int] = (16, 16, 16),
+                      lights_per_cell: int = 128):
+    """Grid parameters sized to the scene AABB (the reference host would
+    configure these; it never enables ReGIR, SURVEY.md §2.3)."""
+    import numpy as np
+
+    from raytracer2_tpu.restir.regir import ReGIRGridParameters
+
+    lo = np.asarray(jnp.min(scene.tri_v0, axis=0)) if scene.num_triangles \
+        else np.zeros(3)
+    hi = np.asarray(jnp.max(scene.tri_v0, axis=0)) if scene.num_triangles \
+        else np.ones(3)
+    center = 0.5 * (lo + hi)
+    cell = float(np.max((hi - lo) / np.asarray(cells))) or 1.0
+    return ReGIRGridParameters(
+        center=(float(center[0]), float(center[1]), float(center[2])),
+        cell_size=cell, cells=cells, lights_per_cell=lights_per_cell)
 
 
 def create_renderer(scene: Scene, width: int, height: int,
                     use_bvh: bool = True,
-                    backend: str = "auto") -> Renderer:
+                    backend: str = "auto",
+                    presample: bool = True,
+                    regir: bool = False,
+                    presample_seed: int = 0) -> Renderer:
+    """presample=True fills the RIS tile buffer once at creation — the
+    static-scene equivalent of the reference's frame-1 presample dispatch
+    (light_passes.rs:538-547; the tiles only refresh with the scene).
+    regir=True additionally builds the ReGIR world-space grid so
+    local_light_sampling_mode=2 is live."""
+    from raytracer2_tpu.lights.prepare import (
+        presample_environment_map, presample_local_lights)
+
+    scene_lights = prepare_lights(scene)
+    ris_buffer = None
+    if presample and scene_lights.num_local_lights > 0:
+        local = presample_local_lights(presample_seed, scene_lights)
+        if scene_lights.env_pdf_mips is not None:
+            env = presample_environment_map(presample_seed, scene_lights)
+        else:
+            env = jnp.zeros_like(local)
+        ris_buffer = jnp.concatenate([local, env], axis=0)
+
+    regir_buf = None
+    regir_p = None
+    if regir and scene_lights.num_local_lights > 0:
+        from raytracer2_tpu.params import LightBufferRegion
+        from raytracer2_tpu.restir.regir import presample_regir_grid
+
+        regir_p = make_regir_params(scene)
+        regir_buf = presample_regir_grid(
+            presample_seed, scene_lights.lights,
+            LightBufferRegion(first_light_index=0,
+                              num_lights=scene_lights.num_local_lights),
+            regir_p)
+
     return Renderer(
         scene=scene,
         tracers=make_tracers(scene, use_bvh=use_bvh, backend=backend),
-        scene_lights=prepare_lights(scene),
+        scene_lights=scene_lights,
         neighbor_offsets=fill_neighbor_offsets(),
         width=width,
         height=height,
+        ris_buffer=ris_buffer,
+        regir_ris_buffer=regir_buf,
+        regir_params=regir_p,
     )
 
 
+# pass names in execution order, for profiling prefixes (bench.py
+# --per-pass jits the frame stopped after each and diffs the medians)
+FRAME_PASSES = ("gbuffer", "di", "brdf_rays", "shade_secondary",
+                "gi_temporal", "gi_spatial", "gi_final", "post")
+
+
 def render_frame(renderer: Renderer, g_const: GConst,
-                 state: FrameState) -> tuple[FrameState, jax.Array]:
+                 state: FrameState,
+                 stop_after: str | None = None
+                 ) -> tuple[FrameState, jax.Array]:
     """Execute one frame (light_passes.rs:550-663 + post-process +
-    frame-state rotation). Returns (new state, display image [H, W, 3])."""
+    frame-state rotation). Returns (new state, display image [H, W, 3]).
+    stop_after (a FRAME_PASSES name) truncates the frame after that pass
+    for cumulative-prefix profiling — the returned image is zeros then."""
     scene = renderer.scene
     width, height = renderer.width, renderer.height
     gi_idx = g_const.restir_gi.buffer_indices
@@ -143,6 +223,8 @@ def render_frame(renderer: Renderer, g_const: GConst,
     # 1. G-buffer pass (light_passes.rs:598-606)
     gbuffer, motion = gbuffer_pass(
         scene, g_const, renderer.tracers.closest_hit, width, height)
+    if stop_after == "gbuffer":
+        return state, (gbuffer, motion)
 
     bridge = make_bridge(
         scene, renderer.tracers, gbuffer, prev_gbuffer, g_const,
@@ -168,18 +250,24 @@ def render_frame(renderer: Renderer, g_const: GConst,
             g_const, bridge, light_ctx, diffuse, specular, width, height)
         di_slots[g_const.restir_di.buffer_indices.shading_input_buffer_index] \
             = di_res
+    if stop_after == "di":
+        return state, (diffuse, specular)
 
     # 3. ReSTIR GI chain (light_passes.rs:621-660)
     if g_const.enable_restir_gi:
         secondary, diffuse, specular = brdf_rays_pass(
             scene, g_const, renderer.tracers, bridge, diffuse, specular,
             width, height)
+        if stop_after == "brdf_rays":
+            return state, (secondary, diffuse, specular)
         gi_initial, secondary, diffuse, specular = \
             shade_secondary_surfaces_pass(
                 scene, g_const, renderer.tracers, bridge, light_ctx,
                 secondary, diffuse, specular, width, height)
         gi_slots[gi_idx.secondary_surface_restir_di_output_buffer_index] = \
             gi_initial
+        if stop_after == "shade_secondary":
+            return state, (gi_initial, diffuse, specular)
 
         current = gi_initial
         if g_const.enable_temporal_resampling:
@@ -188,14 +276,20 @@ def render_frame(renderer: Renderer, g_const: GConst,
             current = gi_temporal_pass(
                 g_const, bridge, current, prev_src, motion, width, height)
             gi_slots[gi_idx.temporal_resampling_output_buffer_index] = current
+        if stop_after == "gi_temporal":
+            return state, (current, diffuse, specular)
         if g_const.enable_spatial_resampling:
             current = gi_spatial_pass(
                 g_const, bridge, current, width, height)
             gi_slots[gi_idx.spatial_resampling_output_buffer_index] = current
+        if stop_after == "gi_spatial":
+            return state, (current, diffuse, specular)
 
         diffuse, specular = gi_final_shading_pass(
             g_const, bridge, current, secondary, diffuse, specular,
             width, height)
+    if stop_after == "gi_final":
+        return state, (diffuse, specular)
 
     # accumulation blending happens inside store_shading_output per pass; the
     # persistent lighting buffers feed it next frame

@@ -55,10 +55,20 @@ def render_reference(
     max_samples: int = MAX_SAMPLES,
     trace_fn: TraceFn | None = None,
     textures_enabled: bool | None = None,
+    with_ray_count: bool = False,
+    chunk_pixels: int = 1 << 18,
 ) -> jax.Array:
     """Render the reference image; returns linear radiance [H, W, 3]
     (the Diffuse buffer the post-process pass reads in refrence mode,
-    post_processing.comp:156-157)."""
+    post_processing.comp:156-157). With with_ray_count=True also returns
+    the number of LIVE rays traced (lanes not yet terminated by a miss),
+    for honest Mrays/s accounting across scenes with different escape
+    fractions — the nominal count is W*H*spp*bounces.
+
+    Pixels are processed in chunk_pixels-wide slices (lax.map): at 1080p a
+    single launch materializes [2M, 3]-class loop temps that TPU tiling
+    pads 42-128x (~1 GB each, compile OOM); Z-order chunks keep each slice
+    coherent and bound the temps."""
     if trace_fn is None:
         trace_fn = make_brute_force_tracer(scene)
     if textures_enabled is None:
@@ -71,18 +81,20 @@ def render_reference(
     # radiance are keyed by (px, py) values, so the image is bit-identical
     # to the row-major layout after the final unpermute.
     zidx, zinv = raysmod.zorder_permutation(width, height)
-    px, py = raysmod.pixel_grid(width, height)
-    px = px.reshape(-1)[zidx]
-    py = py.reshape(-1)[zidx]
-    n = px.shape[0]
+    px_all, py_all = raysmod.pixel_grid(width, height)
+    px_all = px_all.reshape(-1)[zidx]
+    py_all = py_all.reshape(-1)[zidx]
+    n_img = px_all.shape[0]
 
-    # RAB_InitRandomSampler(pixel, pass=1) -> frame + 13 (bridge:378-381;
-    # refrence.rgen:21 passes frameIndex=1 meaning pass=1)
-    rng_state = rtrng.init_random_sampler(
-        px.astype(jnp.uint32), py.astype(jnp.uint32),
-        g_const.frame + jnp.uint32(13))
-
-    primary = raysmod.setup_primary_ray(px, py, g_const.view)
+    # pixel chunking (docstring): pad to a whole number of chunks with
+    # dummy (0, 0) pixels whose output is sliced away
+    n = min(chunk_pixels, n_img)
+    pad = (-n_img) % n
+    if pad:
+        px_all = jnp.concatenate([px_all, jnp.zeros((pad,), px_all.dtype)])
+        py_all = jnp.concatenate([py_all, jnp.zeros((pad,), py_all.dtype)])
+    valid_all = jnp.arange(px_all.shape[0]) < n_img  # pad lanes never trace
+    n_chunks = px_all.shape[0] // n
 
     # tolerate trace_fns without the presorted fast-path hint
     import inspect
@@ -97,17 +109,34 @@ def render_reference(
         def tf(o, d, tn, tx, presorted=False):
             return trace_fn(o, d, tn, tx)
 
-    def sample_body(_, carry):
-        radiance, rng_state = carry
+    def render_chunk(args):
+        px, py, valid = args
+
+        # RAB_InitRandomSampler(pixel, pass=1) -> frame + 13 (bridge:378-381;
+        # refrence.rgen:21 passes frameIndex=1 meaning pass=1)
+        chunk_rng = rtrng.init_random_sampler(
+            px.astype(jnp.uint32), py.astype(jnp.uint32),
+            g_const.frame + jnp.uint32(13))
+        primary = raysmod.setup_primary_ray(px, py, g_const.view)
+        return jax.lax.fori_loop(
+            0, max_samples,
+            lambda _, c: sample_body(c, primary, valid),
+            (jnp.zeros((n, 3), jnp.float32), chunk_rng, jnp.uint32(0)))
+
+    def sample_body(carry, primary, valid):
+        radiance, rng_state, live_rays = carry
         throughput = jnp.ones((n, 3), jnp.float32)
-        active = jnp.ones((n,), bool)
+        active = valid
         origin = primary.origin
         direction = primary.direction
         t_min = jnp.full((n,), 0.001, jnp.float32)  # refrence.rgen:27
         t_max = jnp.full((n,), BACKGROUND_DEPTH, jnp.float32)
 
         def bounce_body(bcarry, presorted=False):
-            radiance, throughput, active, origin, direction, rng_state = bcarry
+            (radiance, throughput, active, origin, direction, rng_state,
+             live_rays) = bcarry
+            if with_ray_count:
+                live_rays = live_rays + jnp.sum(active.astype(jnp.uint32))
             # dead lanes get t_max = -1: the bundle tracer excludes them from
             # bundle bounds and they can never hit (free lane compaction)
             lane_tmax = jnp.where(active, t_max, -1.0)
@@ -138,22 +167,34 @@ def render_reference(
             direction = jnp.where(take[..., None], new_dir, direction)
             origin = jnp.where(take[..., None], surface.world_pos, origin)
             active = take
-            return radiance, throughput, active, origin, direction, rng_state
+            return (radiance, throughput, active, origin, direction,
+                    rng_state, live_rays)
 
-        bcarry = (radiance, throughput, active, origin, direction, rng_state)
+        bcarry = (radiance, throughput, active, origin, direction, rng_state,
+                  live_rays)
         # bounce 0 is peeled out: camera rays are already Z-tile coherent,
         # so the tracer can skip its runtime sort (presorted=True)
         if max_bounces >= 1:
             bcarry = bounce_body(bcarry, presorted=True)
-        radiance, _, _, _, _, rng_state = jax.lax.fori_loop(
+        radiance, _, _, _, _, rng_state, live_rays = jax.lax.fori_loop(
             1, max_bounces, lambda _, c: bounce_body(c), bcarry)
-        return radiance, rng_state
+        return radiance, rng_state, live_rays
 
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    radiance, _ = jax.lax.fori_loop(
-        0, max_samples, sample_body, (radiance, rng_state))
+    if n_chunks == 1:
+        radiance, _, live_rays = render_chunk((px_all, py_all, valid_all))
+    else:
+        radiance, _, live_chunks = jax.lax.map(
+            render_chunk, (px_all.reshape(n_chunks, n),
+                           py_all.reshape(n_chunks, n),
+                           valid_all.reshape(n_chunks, n)))
+        radiance = radiance.reshape(n_chunks * n, 3)
+        live_rays = jnp.sum(live_chunks)
+    radiance = radiance[:n_img]
 
-    return (radiance[zinv] / max_samples).reshape(height, width, 3)
+    img = (radiance[zinv] / max_samples).reshape(height, width, 3)
+    if with_ray_count:
+        return img, live_rays
+    return img
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

@@ -321,3 +321,38 @@ class TestPallasTracer:
             clusters, origins, dirs, 1e-3, tmax, smin, smax, interpret=True)
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
+
+    def test_hier_cull_parity(self, sphere_scene):
+        """Two-level (supercluster) culling returns the same hits as the
+        flat exact cull. k_sc covers every supercluster here, so hier is
+        mathematically identical to exact; small clusters force a real
+        multi-supercluster hierarchy."""
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import (
+            closest_hit_bundle_pallas, occluded_bundle_pallas)
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=4)
+        assert clusters.num_clusters >= 16
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=33, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            interpret=True, cull="hier", m_super=4, k_sc=10_000)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+
+        occ = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            interpret=True, cull="hier", m_super=4, k_sc=10_000)
+        np.testing.assert_array_equal(np.asarray(occ),
+                                      ~np.asarray(ref.missed))
