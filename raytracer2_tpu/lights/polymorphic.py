@@ -45,8 +45,11 @@ DISTANT_LIGHT_DISTANCE = 1000.0  # (PolymorphicLight.glsl:43)
 
 
 class LightInfo(NamedTuple):
-    """SoA RAB_LightInfo (PolymorphicLight.glsl:19-36). Shaping words
-    (uint4[2]) are omitted — the reference never enables shaping."""
+    """SoA RAB_LightInfo (PolymorphicLight.glsl:19-36) including the
+    optional shaping words (the reference's uint4[2] second half,
+    LightShaping.glsl:16-25). All-zero shaping words = unshaped (the
+    shaping-enable bit lives in color_type_and_flags bit 28), which is
+    what the reference's prepare pass always emits."""
 
     center: jax.Array  # [L, 3] f32
     color_type_and_flags: jax.Array  # [L] u32
@@ -54,6 +57,24 @@ class LightInfo(NamedTuple):
     direction2: jax.Array  # [L] u32 oct
     scalars: jax.Array  # [L] u32 2xf16
     log_radiance: jax.Array  # [L] u32 (u16 used)
+    shaping_axis: jax.Array  # [L] u32 oct primary axis
+    shaping_cone: jax.Array  # [L] u32 f16 cosConeAngle | f16 softness << 16
+    shaping_ies: jax.Array  # [L] u32 IES profile index
+
+
+def _zero_shaping(n: int) -> dict:
+    return dict(shaping_axis=jnp.zeros((n,), jnp.uint32),
+                shaping_cone=jnp.zeros((n,), jnp.uint32),
+                shaping_ies=jnp.zeros((n,), jnp.uint32))
+
+
+def get_shaping(info: LightInfo):
+    """unpackLightShaping (LightShaping.glsl:16-25)."""
+    from raytracer2_tpu.lights.shaping import unpack_light_shaping
+
+    return unpack_light_shaping(info.color_type_and_flags,
+                                info.shaping_axis, info.shaping_cone,
+                                info.shaping_ies)
 
 
 def empty_light_info(n: int) -> LightInfo:
@@ -64,6 +85,7 @@ def empty_light_info(n: int) -> LightInfo:
         direction2=jnp.zeros((n,), jnp.uint32),
         scalars=jnp.zeros((n,), jnp.uint32),
         log_radiance=jnp.zeros((n,), jnp.uint32),
+        **_zero_shaping(n),
     )
 
 
@@ -141,7 +163,7 @@ def store_triangle_lights(base: jax.Array, edge1: jax.Array, edge2: jax.Array,
         center=base + (edge1 + edge2) / 3.0,
         color_type_and_flags=color_bits | type_bits,
         direction1=d1, direction2=d2, scalars=scalars,
-        log_radiance=log_radiance)
+        log_radiance=log_radiance, **_zero_shaping(base.shape[0]))
 
 
 class _Tri(NamedTuple):
@@ -203,19 +225,37 @@ def triangle_light_power(info: LightInfo) -> jax.Array:
 # Point lights
 # ---------------------------------------------------------------------------
 
-def store_point_lights(position: jax.Array, flux: jax.Array) -> LightInfo:
+def store_point_lights(position: jax.Array, flux: jax.Array,
+                       cone_axis: jax.Array | None = None,
+                       cos_cone_angle: jax.Array | None = None,
+                       cone_softness: jax.Array | None = None) -> LightInfo:
     """Point-light records (CreatePointLight inverse; PolymorphicLight.glsl:
-    186-195: center + packed flux)."""
+    186-195: center + packed flux). Optional spot shaping packs the cone
+    into the shaping words and sets the enable bit (LightShaping.glsl:
+    16-25); the reference never creates shaped lights, so this is a
+    capability extension with identical defaults."""
+    from raytracer2_tpu.lights.shaping import K_SHAPING_ENABLE_BIT
+
     color_bits, log_radiance = pack_light_color(flux)
     n = position.shape[0]
     type_bits = jnp.uint32(K_POINT << K_TYPE_SHIFT)
+    shaping = _zero_shaping(n)
+    if cone_axis is not None:
+        type_bits = type_bits | jnp.uint32(K_SHAPING_ENABLE_BIT)
+        soft = (cone_softness if cone_softness is not None
+                else jnp.zeros((n,), jnp.float32))
+        shaping = dict(
+            shaping_axis=pk.ndir_to_oct_unorm32(cone_axis),
+            shaping_cone=(pk.f32_to_f16_bits(cos_cone_angle)
+                          | (pk.f32_to_f16_bits(soft) << 16)),
+            shaping_ies=jnp.zeros((n,), jnp.uint32))
     return LightInfo(
         center=position,
         color_type_and_flags=color_bits | type_bits,
         direction1=jnp.zeros((n,), jnp.uint32),
         direction2=jnp.zeros((n,), jnp.uint32),
         scalars=jnp.zeros((n,), jnp.uint32),
-        log_radiance=log_radiance)
+        log_radiance=log_radiance, **shaping)
 
 
 def _calc_point_sample(info: LightInfo, viewer_pos) -> LightSample:
@@ -232,8 +272,11 @@ def _calc_point_sample(info: LightInfo, viewer_pos) -> LightSample:
 
 
 def point_light_power(info: LightInfo) -> jax.Array:
-    """(PolymorphicLight.glsl:170-173); shaping flux factor = 1 (stub)."""
-    return 4.0 * brdf.PI * brdf.luminance(unpack_light_color(info))
+    """(PolymorphicLight.glsl:170-172) incl. the shaping flux factor."""
+    from raytracer2_tpu.lights.shaping import get_shaping_flux_factor
+
+    return (4.0 * brdf.PI * brdf.luminance(unpack_light_color(info))
+            * get_shaping_flux_factor(get_shaping(info)))
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +298,7 @@ def store_directional_lights(direction: jax.Array, radiance: jax.Array,
         color_type_and_flags=color_bits | type_bits,
         direction1=pk.ndir_to_oct_unorm32(direction),
         direction2=jnp.zeros((n,), jnp.uint32),
-        scalars=scalars, log_radiance=log_radiance)
+        scalars=scalars, log_radiance=log_radiance, **_zero_shaping(n))
 
 
 def _calc_directional_sample(info: LightInfo, random, viewer_pos) -> LightSample:
@@ -300,7 +343,7 @@ def store_environment_light(texture_size: tuple[int, int],
         direction1=jnp.zeros((1,), jnp.uint32),
         direction2=jnp.asarray(
             [texture_size[0] | (texture_size[1] << 16)], jnp.uint32),
-        scalars=scalars, log_radiance=log_radiance)
+        scalars=scalars, log_radiance=log_radiance, **_zero_shaping(1))
 
 
 def _calc_environment_sample(info: LightInfo, random, viewer_pos,
@@ -349,8 +392,9 @@ def _calc_environment_sample(info: LightInfo, random, viewer_pos,
 def calc_sample(info: LightInfo, random: jax.Array, viewer_pos: jax.Array,
                 skybox: jax.Array | None = None) -> LightSample:
     """Polymorphic dispatch (PolymorphicLight.glsl:429-452): every type is
-    evaluated and masked-selected — cheap and branch-free on the VPU. Light
-    shaping factor is 1.0 (reference stub)."""
+    evaluated and masked-selected — cheap and branch-free on the VPU.
+    Shaping is applied to the selected sample when pdf > 0
+    (PolymorphicLight.glsl:444-448); unshaped lights get factor 1.0."""
     ltype = get_light_type(info.color_type_and_flags)
 
     s_point = _calc_point_sample(info, viewer_pos)
@@ -372,9 +416,18 @@ def calc_sample(info: LightInfo, random: jax.Array, viewer_pos: jax.Array,
                  | (t == K_DIRECTIONAL) | (t == K_ENVIRONMENT))
         return jnp.where(known, out, jnp.zeros_like(out))
 
+    pdf = sel("solid_angle_pdf")
+    pos = sel("position")
+    radiance = sel("radiance")
+    # shaping falloff (PolymorphicLight.glsl:444-448); branchless — for
+    # unshaped lights evaluate_light_shaping is identically 1.0
+    from raytracer2_tpu.lights.shaping import evaluate_light_shaping
+
+    factor = evaluate_light_shaping(get_shaping(info), viewer_pos, pos)
+    radiance = radiance * jnp.where(pdf > 0, factor, 1.0)[..., None]
     return LightSample(
-        position=sel("position"), normal=sel("normal"),
-        radiance=sel("radiance"), solid_angle_pdf=sel("solid_angle_pdf"),
+        position=pos, normal=sel("normal"),
+        radiance=radiance, solid_angle_pdf=pdf,
         light_type=ltype)
 
 

@@ -71,6 +71,15 @@ def di_fused_resampling_pass(
     # spatio-temporal resampling: commented out in the reference
     # (di_fused_resampling.rgen:69-70) — quirk preserved.
 
+    # DI boiling filter (DIResamplingFunctions.hlsli:101-116): applied to
+    # the temporal stage's reservoir image when enabled (default off, like
+    # the reference's RTXDI_ENABLE_BOILING_FILTER compile switch)
+    trp = g_const.restir_di.temporal_resampling_params
+    if trp.enable_boiling_filter:
+        from raytracer2_tpu.restir.di_resampling import di_boiling_filter
+
+        reservoir = di_boiling_filter(reservoir, trp.boiling_filter_strength)
+
     valid = dires.is_valid(reservoir)
     reservoir_shaded, diffuse, specular, _ = shade_surface_with_light_sample(
         reservoir, surface, light_sample,

@@ -412,3 +412,20 @@ def di_spatio_temporal_resampling(
         uniform_random_number, prev_reservoirs, bridge)
     return di_spatial_resampling(
         px, py, surface, merged, rng, s_spec, prev_reservoirs, bridge)
+
+
+def di_boiling_filter(reservoirs: DIReservoir, filter_strength
+                      ) -> DIReservoir:
+    """RTXDI_BoilingFilter for DI (DIResamplingFunctions.hlsli:101-116):
+    discard reservoirs whose weightSum is far above their 16x16 tile's
+    average — the wave-op group reduction becomes an image-space tile
+    reduce (restir/helpers.py boiling_filter_mask). Applied after temporal
+    resampling, exactly like the GI variant (the reference allows it 'in a
+    separate pass', :102-104). Operates on a full [H, W] reservoir image."""
+    from raytracer2_tpu.restir.di_reservoir import (
+        _where_res, empty_di_reservoir)
+    from raytracer2_tpu.restir import helpers
+
+    kill = helpers.boiling_filter_mask(reservoirs.weight_sum,
+                                       filter_strength)
+    return _where_res(kill, empty_di_reservoir(kill.shape), reservoirs)

@@ -173,11 +173,14 @@ class LightSamplingContext:
 
     lights: LightInfo  # [L] full light table
     light_buffer_params: LightBufferParameters
-    local_light_sampling_mode: int = 0  # 0 uniform, 1 power RIS
+    local_light_sampling_mode: int = 0  # 0 uniform, 1 power RIS, 2 ReGIR
     enable_presampling: bool = False
     ris_buffer: jax.Array | None = None  # [S, 2] u32
     local_ris_params: RISBufferSegmentParameters | None = None
     env_ris_params: RISBufferSegmentParameters | None = None
+    # ReGIR world-space grid (local_light_sampling_mode == 2)
+    regir_ris_buffer: jax.Array | None = None  # [cells * per_cell, 2] u32
+    regir_params: object | None = None  # regir.ReGIRGridParameters
 
 
 def sample_local_lights(
@@ -200,12 +203,43 @@ def sample_local_lights(
     use_ris = (ctx.enable_presampling
                and ctx.local_light_sampling_mode == 1
                and ctx.ris_buffer is not None)
+    use_regir = (ctx.enable_presampling
+                 and ctx.local_light_sampling_mode == 2
+                 and ctx.regir_ris_buffer is not None
+                 and ctx.regir_params is not None)
     if use_ris:
         tile, coherent_rng = randomly_select_ris_tile(
             coherent_rng, ctx.local_ris_params)
+    if use_regir:
+        # RTXDI_CalculateReGIRCellIndex (InitialSamplingFunctions.hlsli:
+        # 165-183): jitter the sampling position, find the grid cell
+        from raytracer2_tpu.restir import regir as regir_mod
+
+        jit3, coherent_rng = rtrng.sample_uniform_n(coherent_rng, 3)
+        pos = (surface.world_pos + (jit3 - 0.5)
+               * regir_mod.get_jitter_scale(ctx.regir_params))
+        regir_cell = regir_mod.world_pos_to_cell_index(ctx.regir_params, pos)
 
     for _ in range(sample_params.num_local_light_samples):
-        if use_ris:
+        if use_regir:
+            # lanes inside the grid draw from their cell; lanes outside
+            # fall back to uniform (the GLSL picks one path per pixel,
+            # :211-219; the masked form consumes both rng draws on every
+            # lane — statistics match, sequences differ)
+            from raytracer2_tpu.restir import regir as regir_mod
+
+            li_r, inv_r, valid_r, rng = regir_mod.select_light_from_regir_cell(
+                rng, ctx.regir_ris_buffer, regir_cell, ctx.regir_params)
+            rnd, rng = rtrng.sample_uniform(rng)
+            li_u = (region.first_light_index + jnp.minimum(
+                (rnd * region.num_lights).astype(jnp.uint32),
+                region.num_lights - 1))
+            light_index = jnp.where(valid_r, li_r, li_u)
+            inv_source_pdf = jnp.where(
+                valid_r, inv_r, jnp.float32(region.num_lights))
+            light_info = LightInfo(*(l[light_index.astype(jnp.int32)]
+                                     for l in ctx.lights))
+        elif use_ris:
             tile_data, ris_ptr, rng = randomly_select_light_data_from_ris_tile(
                 rng, tile, ctx.ris_buffer)
             light_index = tile_data[..., 0] & jnp.uint32(0x7FFFFFFF)

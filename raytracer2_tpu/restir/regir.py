@@ -93,7 +93,12 @@ def _average_distance_to_volume(distance, radius):
 def get_light_weight_for_volume(info: LightInfo, volume_center: jax.Array,
                                 volume_radius) -> jax.Array:
     """RAB_GetLightTargetPdfForVolume (bridge:504-507 ->
-    PolymorphicLight.glsl:473-490). Shaping culling is the identity (stub)."""
+    PolymorphicLight.glsl:473-490), incl. the shaped-light sphere-cone cull
+    (PolymorphicLight.glsl:175-178)."""
+    from raytracer2_tpu.lights.polymorphic import get_shaping
+    from raytracer2_tpu.lights.shaping import (
+        test_sphere_intersection_for_shaped_light)
+
     ltype = get_light_type(info.color_type_and_flags)
 
     # point lights (:175-184)
@@ -101,6 +106,9 @@ def get_light_weight_for_volume(info: LightInfo, volume_center: jax.Array,
     d_point = jnp.linalg.norm(volume_center - info.center, axis=-1)
     d_point = _average_distance_to_volume(d_point, volume_radius)
     w_point = brdf.luminance(flux) / jnp.maximum(d_point ** 2, 1e-20)
+    cone_ok = test_sphere_intersection_for_shaped_light(
+        info.center, 0.0, get_shaping(info), volume_center, volume_radius)
+    w_point = jnp.where(cone_ok, w_point, 0.0)
 
     # triangle lights (:302-316)
     tri = _create_triangle(info)

@@ -106,3 +106,90 @@ def test_multichip_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_presampled_power_ris_mode(setup):
+    """local_light_sampling_mode=1 draws candidates from the RIS tiles the
+    renderer presampled at creation (light_passes.rs:538-547 -> RIS-tile
+    selection, RISBuffer.hlsli:20-42)."""
+    import dataclasses
+
+    renderer, g = setup
+    assert renderer.ris_buffer is not None  # presample ran at creation
+    isp = dataclasses.replace(
+        g.restir_di.initial_sampling_params,
+        local_light_sampling_mode=1, num_primary_local_light_samples=2)
+    g1 = g.replace(
+        enable_restir_di=1,
+        restir_di=dataclasses.replace(
+            g.restir_di, initial_sampling_params=isp))
+    state = init_frame_state(W, H)
+    state, img = render_frame(renderer, g1, state)
+    img = np.asarray(img)
+    assert np.all(np.isfinite(img))
+    assert img.mean() > 0.001
+    # the DI reservoirs saw candidates
+    di = state.di_reservoirs[
+        g1.restir_di.buffer_indices.shading_input_buffer_index]
+    assert float(np.asarray(di.m).max()) > 0
+
+
+def test_regir_mode(tmp_path):
+    """local_light_sampling_mode=2 selects lights through the ReGIR grid
+    (ReGIRSampling.hlsli cell indexing + grid presample)."""
+    import dataclasses
+
+    p = tmp_path / "c.glb"
+    proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+    scene = build_scene(gltf.load_file(p))
+    renderer = create_renderer(scene, W, H, regir=True)
+    assert renderer.regir_ris_buffer is not None
+    cam = default_camera(window_size=(W, H), position=(0, 0, -12),
+                         direction=(0, 0, -1))
+    g = default_gconst(cam.planar_view_constants(),
+                       renderer.scene_lights.num_local_lights)
+    isp = dataclasses.replace(
+        g.restir_di.initial_sampling_params,
+        local_light_sampling_mode=2, num_primary_local_light_samples=2)
+    g2 = g.replace(
+        enable_restir_di=1,
+        restir_di=dataclasses.replace(
+            g.restir_di, initial_sampling_params=isp))
+    state = init_frame_state(W, H)
+    state, img = render_frame(renderer, g2, state)
+    img = np.asarray(img)
+    assert np.all(np.isfinite(img))
+    assert img.mean() > 0.001
+
+
+def test_shaped_point_light_cone():
+    """Spot shaping: a narrow cone pointed away from the surface kills the
+    sample's radiance; pointed toward it, radiance survives
+    (LightShaping.glsl:56-75 smoothstep falloff)."""
+    from raytracer2_tpu.lights import polymorphic as pl
+
+    pos = jnp.asarray([[0.0, 5.0, 0.0]])
+    flux = jnp.asarray([[10.0, 10.0, 10.0]])
+    down = jnp.asarray([[0.0, -1.0, 0.0]])
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    cos_angle = jnp.asarray([0.9])  # ~26 deg cone
+
+    viewer = jnp.asarray([[0.0, 0.0, 0.0]])  # below the light
+    rand = jnp.asarray([[0.5, 0.5]])
+
+    lit = pl.store_point_lights(pos, flux, cone_axis=down,
+                                cos_cone_angle=cos_angle)
+    unlit = pl.store_point_lights(pos, flux, cone_axis=up,
+                                  cos_cone_angle=cos_angle)
+    plain = pl.store_point_lights(pos, flux)
+
+    s_lit = pl.calc_sample(lit, rand, viewer)
+    s_unlit = pl.calc_sample(unlit, rand, viewer)
+    s_plain = pl.calc_sample(plain, rand, viewer)
+    assert float(jnp.sum(s_lit.radiance)) > 0
+    assert float(jnp.sum(s_unlit.radiance)) == 0.0
+    # inside the cone the falloff is 1: equals the unshaped radiance
+    np.testing.assert_allclose(np.asarray(s_lit.radiance),
+                               np.asarray(s_plain.radiance), rtol=1e-6)
+    # shaped flux factor reduces power (PolymorphicLight.glsl:170-172)
+    assert float(pl.get_power(lit)[0]) < float(pl.get_power(plain)[0])

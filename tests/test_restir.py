@@ -232,3 +232,54 @@ class TestHelpers:
         kill = np.asarray(helpers.boiling_filter_mask(jnp.asarray(w), 0.5))
         assert kill[5, 5]
         assert kill.sum() == 1
+
+
+class TestDIBoilingFilter:
+    def test_outlier_killed_average_kept(self):
+        """DI boiling filter (DIResamplingFunctions.hlsli:101-116): a
+        reservoir with weightSum far above its 16x16 tile average is
+        discarded; normal reservoirs survive."""
+        from raytracer2_tpu.restir.di_resampling import di_boiling_filter
+        from raytracer2_tpu.restir.di_reservoir import empty_di_reservoir
+
+        res = empty_di_reservoir((16, 16))
+        w = jnp.full((16, 16), 1.0).at[3, 5].set(1e5)
+        res = res._replace(weight_sum=w,
+                           m=jnp.ones((16, 16), jnp.float32))
+        out = di_boiling_filter(res, filter_strength=0.8)
+        assert float(out.weight_sum[3, 5]) == 0.0  # outlier gone
+        assert float(out.m[3, 5]) == 0.0
+        assert float(out.weight_sum[0, 0]) == 1.0  # average survives
+
+    def test_frame_gated_by_gconst(self, tmp_path):
+        """enable_boiling_filter on the DI temporal params routes through
+        the fused pass without breaking the frame."""
+        import dataclasses
+
+        import numpy as np
+
+        from raytracer2_tpu.models import procedural as proc
+        from raytracer2_tpu.params import default_gconst
+        from raytracer2_tpu.render.frame import (
+            create_renderer, init_frame_state, render_frame)
+        from raytracer2_tpu.scene import gltf
+        from raytracer2_tpu.scene.camera import default_camera
+        from raytracer2_tpu.scene.scene import build_scene
+
+        p = tmp_path / "c.glb"
+        proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+        scene = build_scene(gltf.load_file(p))
+        renderer = create_renderer(scene, 16, 16)
+        cam = default_camera(window_size=(16, 16), position=(0, 0, -12),
+                             direction=(0, 0, -1))
+        g = default_gconst(cam.planar_view_constants(),
+                           renderer.scene_lights.num_local_lights)
+        trp = dataclasses.replace(
+            g.restir_di.temporal_resampling_params,
+            enable_boiling_filter=1, boiling_filter_strength=0.5)
+        g = g.replace(enable_restir_di=1,
+                      restir_di=dataclasses.replace(
+                          g.restir_di, temporal_resampling_params=trp))
+        state = init_frame_state(16, 16)
+        state, img = render_frame(renderer, g, state)
+        assert np.all(np.isfinite(np.asarray(img)))
