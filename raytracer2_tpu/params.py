@@ -316,6 +316,10 @@ class GConst:
     enable_brdf_indirect: int = 1
     enable_brdf_additive_blend: int = 1
     enable_accumulation: int = 0
+    # 0 = preserve the reference's copy-paste bug (diffuse blended into the
+    # specular buffer under accumulation, ShadingHelpers.glsl:72-73);
+    # 1 = accumulate specular correctly (used by the RMSE gate)
+    correct_specular_accumulation: int = 0
     frame: jax.Array = dataclasses.field(default_factory=lambda: jnp.uint32(0))
 
     restir_gi: GIParameters = dataclasses.field(default_factory=GIParameters)

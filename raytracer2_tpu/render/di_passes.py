@@ -95,5 +95,7 @@ def di_fused_resampling_pass(
         diffuse_img, specular_img, diffuse, specular,
         is_first_pass=(g_const.enable_restir_di == 1),
         enable_accumulation=g_const.enable_accumulation,
-        blend_factor=g_const.blend_factor)
+        blend_factor=g_const.blend_factor,
+        correct_specular_accumulation=bool(
+            g_const.correct_specular_accumulation))
     return reservoir_shaded, diffuse_img, specular_img

@@ -205,7 +205,9 @@ def render_frame(renderer: Renderer, g_const: GConst,
             state.diffuse_lighting, state.specular_lighting,
             radiance, jnp.zeros_like(radiance), is_first_pass=True,
             enable_accumulation=g_const.enable_accumulation,
-            blend_factor=g_const.blend_factor)
+            blend_factor=g_const.blend_factor,
+        correct_specular_accumulation=bool(
+            g_const.correct_specular_accumulation))
         new_state = state._replace(
             prev_gbuffer=prev_gbuffer,
             diffuse_lighting=diffuse,

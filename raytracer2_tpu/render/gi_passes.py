@@ -243,6 +243,8 @@ def brdf_rays_pass(
         is_first_pass=False,
         enable_accumulation=g_const.enable_accumulation,
         blend_factor=g_const.blend_factor,
+        correct_specular_accumulation=bool(
+            g_const.correct_specular_accumulation),
         write_mask=write.reshape(height, width))
     return secondary, diffuse_img, specular_img
 
@@ -372,6 +374,8 @@ def shade_secondary_surfaces_pass(
         is_first_pass=False,
         enable_accumulation=g_const.enable_accumulation,
         blend_factor=g_const.blend_factor,
+        correct_specular_accumulation=bool(
+            g_const.correct_specular_accumulation),
         write_mask=output_shading_result)
 
     return reservoir_gi, secondary, diffuse_img, specular_img
@@ -554,4 +558,6 @@ def gi_final_shading_pass(
         diffuse_img, specular_img, diffuse, specular,
         is_first_pass=(g_const.enable_restir_di == 0),
         enable_accumulation=g_const.enable_accumulation,
-        blend_factor=g_const.blend_factor)
+        blend_factor=g_const.blend_factor,
+        correct_specular_accumulation=bool(
+            g_const.correct_specular_accumulation))

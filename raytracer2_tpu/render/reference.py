@@ -57,6 +57,7 @@ def render_reference(
     textures_enabled: bool | None = None,
     with_ray_count: bool = False,
     chunk_pixels: int = 1 << 18,
+    emission_facing: str = "double",
 ) -> jax.Array:
     """Render the reference image; returns linear radiance [H, W, 3]
     (the Diffuse buffer the post-process pass reads in refrence mode,
@@ -68,7 +69,14 @@ def render_reference(
     Pixels are processed in chunk_pixels-wide slices (lax.map): at 1080p a
     single launch materializes [2M, 3]-class loop temps that TPU tiling
     pads 42-128x (~1 GB each, compile OOM); Z-order chunks keep each slice
-    coherent and bound the temps."""
+    coherent and bound the temps.
+
+    emission_facing: "double" (default) adds hit emission regardless of
+    facing, byte-faithful to refrence.rgen:38. "front" counts emission
+    only when the ray hits the front face — the transport the RTXDI
+    single-sided triangle lights estimate, used by the RMSE gate
+    (tests/test_rmse.py) so estimator bias is measured against a
+    matched-transport oracle instead of the back-face quirk."""
     if trace_fn is None:
         trace_fn = make_brute_force_tracer(scene)
     if textures_enabled is None:
@@ -152,8 +160,14 @@ def render_reference(
             radiance = radiance + jnp.where(
                 (active & missed)[..., None], throughput * env, 0.0)
             # hit: add emission, attenuate (refrence.rgen:38-39)
+            emit = emission
+            if emission_facing == "front":
+                from raytracer2_tpu.utils.brdf import dot3
+
+                front = dot3(direction, surface.normal) < 0.0
+                emit = jnp.where(front[..., None], emission, 0.0)
             radiance = radiance + jnp.where(
-                (active & ~missed)[..., None], throughput * emission, 0.0)
+                (active & ~missed)[..., None], throughput * emit, 0.0)
             throughput = jnp.where(
                 (active & ~missed)[..., None],
                 throughput * surface.diffuse_albedo, throughput)

@@ -95,16 +95,24 @@ def store_shading_output(
     enable_accumulation: int,
     blend_factor,
     write_mask: jax.Array | None = None,  # lanes that execute the store
+    correct_specular_accumulation: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Functional StoreShadingOutput (ShadingHelpers.glsl:61-88).
 
-    QUIRK preserved: in accumulation mode the reference blends the NEW
-    diffuse into BOTH outputs using priorDiffuse (copy-paste bug,
+    QUIRK preserved by default: in accumulation mode the reference blends
+    the NEW diffuse into BOTH outputs using priorDiffuse (copy-paste bug,
     ShadingHelpers.glsl:72-73) — the specular channel accumulates diffuse.
+    correct_specular_accumulation=True (GConst.correct_specular_accumulation)
+    accumulates specular properly instead — required by the RMSE gate,
+    since the quirk corrupts every converged ReSTIR-mode image.
     """
     if enable_accumulation:
         new_diffuse = diffuse_img + (diffuse - diffuse_img) * blend_factor
-        new_specular = new_diffuse  # [sic] mix(priorDiffuse, diffuse, t)
+        if correct_specular_accumulation:
+            new_specular = (specular_img
+                            + (specular - specular_img) * blend_factor)
+        else:
+            new_specular = new_diffuse  # [sic] mix(priorDiffuse, diffuse, t)
     elif not is_first_pass:
         new_diffuse = diffuse_img + diffuse
         new_specular = specular_img + specular

@@ -68,6 +68,10 @@ class Scene(NamedTuple):
     # stacked textures: [NT, H, W, 4] linear float32, zero-padded; sizes [NT,2]
     textures: jax.Array
     texture_sizes: jax.Array  # [NT, 2] int32 (w, h)
+    # per-texture sampler state (ref: gltf/texture.rs:1-118 sampler table):
+    # [NT, 3] i32 = (nearest_filter, wrap_s, wrap_t); wrap: 0 repeat,
+    # 1 clamp-to-edge, 2 mirrored-repeat
+    texture_modes: jax.Array
 
     # environment map (equirect, linear RGB); [1,1,3] zeros if absent
     skybox: jax.Array  # [h, w, 3]
@@ -158,23 +162,41 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
     # textures -> linear float, stacked zero-padded (dummy 1x1 white if none,
     # model.rs:289-355)
     if model.images and model.textures:
+        from raytracer2_tpu.scene.gltf import (
+            FILTER_NEAREST, WRAP_CLAMP_TO_EDGE, WRAP_MIRRORED_REPEAT)
+
+        def wrap_code(mode):
+            if mode == WRAP_CLAMP_TO_EDGE:
+                return 1
+            if mode == WRAP_MIRRORED_REPEAT:
+                return 2
+            return 0
+
         imgs = []
         sizes = []
+        modes = []
         for t in model.textures:
             img = model.images[t.image_index].astype(np.float32) / 255.0
             rgb = _srgb_to_linear(img[..., :3])
             a = img[..., 3:4]
             imgs.append(np.concatenate([rgb, a], axis=-1))
             sizes.append((img.shape[1], img.shape[0]))
+            s = model.samplers[t.sampler_index] if model.samplers else None
+            modes.append((
+                1 if (s and s.mag_filter == FILTER_NEAREST) else 0,
+                wrap_code(s.wrap_s) if s else 0,
+                wrap_code(s.wrap_t) if s else 0))
         max_h = max(i.shape[0] for i in imgs)
         max_w = max(i.shape[1] for i in imgs)
         stacked = np.zeros((len(imgs), max_h, max_w, 4), np.float32)
         for i, img in enumerate(imgs):
             stacked[i, :img.shape[0], :img.shape[1]] = img
         texture_sizes = np.array(sizes, np.int32)
+        texture_modes = np.array(modes, np.int32)
     else:
         stacked = np.ones((1, 1, 1, 4), np.float32)
         texture_sizes = np.array([[1, 1]], np.int32)
+        texture_modes = np.zeros((1, 3), np.int32)
 
     if skybox is None:
         skybox = np.zeros((1, 1, 3), np.float32)
@@ -221,6 +243,7 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         tri_primitive=jnp.asarray(tri_prim),
         textures=jnp.asarray(stacked),
         texture_sizes=jnp.asarray(texture_sizes),
+        texture_modes=jnp.asarray(texture_modes),
         skybox=jnp.asarray(skybox, jnp.float32),
         vertex_attrs=jnp.asarray(vertex_attrs),
         tri_vertex_ids=jnp.asarray(tri_vertex_ids),
@@ -237,28 +260,49 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
 # ---------------------------------------------------------------------------
 
 def sample_texture_bilinear(textures: jax.Array, sizes: jax.Array,
-                            tex_index: jax.Array, uv: jax.Array) -> jax.Array:
-    """Bilinear sample with REPEAT wrap from the stacked texture array.
+                            tex_index: jax.Array, uv: jax.Array,
+                            modes: jax.Array | None = None) -> jax.Array:
+    """Sample the stacked texture array honoring per-texture sampler state.
 
     textures: [NT, H, W, 4]; tex_index: [...]; uv: [..., 2] -> [..., 4].
-    Matches the default glTF sampler (repeat + linear, gltf/mod.rs:147-152).
-    """
+    modes: optional [NT, 3] i32 (nearest, wrap_s, wrap_t) from
+    Scene.texture_modes (ref: gltf/texture.rs:1-118 sampler table); None
+    falls back to the default glTF sampler (repeat + linear,
+    gltf/mod.rs:147-152). Nearest filtering reuses the bilinear gathers
+    with the fraction forced to the texel center (no extra loads)."""
     ti = jnp.maximum(tex_index, 0)
     w = sizes[ti, 0].astype(jnp.float32)
     h = sizes[ti, 1].astype(jnp.float32)
-    # pixel-center sampling: uv*size - 0.5
-    x = uv[..., 0] * w - 0.5
-    y = uv[..., 1] * h - 0.5
+    if modes is not None:
+        nearest = modes[ti, 0] != 0
+        wrap_s = modes[ti, 1]
+        wrap_t = modes[ti, 2]
+    else:
+        nearest = jnp.zeros(ti.shape, bool)
+        wrap_s = jnp.zeros(ti.shape, jnp.int32)
+        wrap_t = jnp.zeros(ti.shape, jnp.int32)
+
+    # pixel-center sampling: uv*size - 0.5 (linear); floor(uv*size) with a
+    # zero fraction reproduces nearest filtering exactly
+    x = jnp.where(nearest, jnp.floor(uv[..., 0] * w), uv[..., 0] * w - 0.5)
+    y = jnp.where(nearest, jnp.floor(uv[..., 1] * h), uv[..., 1] * h - 0.5)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def wrap(v, n):
-        return jnp.mod(v.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+    def wrap(v, n, mode):
+        v = v.astype(jnp.int32)
+        n = jnp.maximum(n.astype(jnp.int32), 1)
+        repeat = jnp.mod(v, n)
+        clamp = jnp.clip(v, 0, n - 1)
+        p = jnp.mod(v, 2 * n)  # sign of divisor: already non-negative
+        mirror = jnp.where(p >= n, 2 * n - 1 - p, p)
+        return jnp.where(mode == 1, clamp, jnp.where(mode == 2, mirror,
+                                                     repeat))
 
-    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
-    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+    x0i, x1i = wrap(x0, w, wrap_s), wrap(x0 + 1, w, wrap_s)
+    y0i, y1i = wrap(y0, h, wrap_t), wrap(y0 + 1, h, wrap_t)
     # flat-index row gathers: the 4D textures[ti, y, x] gather lowers to a
     # slow multi-index scatter/gather on TPU; reshaping to [NT*H*W, 4] and
     # gathering computed flat rows measured ~3x faster
@@ -366,7 +410,8 @@ def get_geometry_from_hit(
     tex_index = grow[..., 12].astype(jnp.int32)
     if textures_enabled:
         texel = sample_texture_bilinear(
-            scene.textures, scene.texture_sizes, tex_index, uv)[..., :3]
+            scene.textures, scene.texture_sizes, tex_index, uv,
+            modes=scene.texture_modes)[..., :3]
         color = jnp.where((tex_index > -1)[..., None], color * texel, color)
 
     metallic = grow[..., 13:14]
