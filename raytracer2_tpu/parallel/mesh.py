@@ -62,13 +62,62 @@ def shard_frame_state(state, mesh: Mesh):
             leaf, _image_leaf_sharding(leaf, mesh, height)), state)
 
 
-def make_sharded_render_fn(renderer, mesh: Mesh) -> Callable:
+def make_sharded_render_fn(renderer, mesh: Mesh,
+                           explicit_halo: bool = False,
+                           halo_rows: int = 8) -> Callable:
     """jit the frame graph with row-sharded frame state in/out; scene and
     light resources are closed over (replicated constants folded into the
-    executable)."""
+    executable).
+
+    explicit_halo=True runs the frame inside shard_map: every device owns
+    a row tile, the stencil passes exchange exactly `halo_rows` boundary
+    rows with their row neighbours over ICI (parallel/halo.py ppermute)
+    instead of whatever collective GSPMD infers for the whole-array
+    gathers. Pixel RNG and view math stay global, so the sharded image
+    matches the single-chip frame wherever temporal reprojection stays
+    within halo_rows (GI spatial radius 3 always does)."""
     from raytracer2_tpu.render.frame import render_frame
 
     height = renderer.height
+
+    if explicit_halo:
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from raytracer2_tpu.parallel.halo import exchange_row_halos
+
+        n = mesh.devices.size
+        assert height % n == 0, "image rows must divide the mesh"
+        h_local = height // n
+        # a halo can only borrow from the immediate row neighbour, so the
+        # radius is capped by the tile height (ppermute ships whole slabs)
+        halo_rows = min(halo_rows, h_local)
+
+        def halo_fn(tree, radius):
+            return jax.tree_util.tree_map(
+                lambda a: exchange_row_halos(a, radius), tree)
+
+        def tile_step(g_const, state_tile):
+            row0 = jax.lax.axis_index(ROW_AXIS) * h_local
+            return render_frame(renderer, g_const, state_tile,
+                                row0=row0, halo_fn=halo_fn,
+                                halo_rows=halo_rows)
+
+        def step(g_const, state):
+            specs_in = jax.tree_util.tree_map(
+                lambda leaf: (P(ROW_AXIS)
+                              if hasattr(leaf, "ndim") and leaf.ndim >= 1
+                              and leaf.shape[0] == height else P()), state)
+            gspec = jax.tree_util.tree_map(lambda _: P(), g_const)
+            sharded = shard_map(
+                tile_step, mesh=mesh,
+                in_specs=(gspec, specs_in),
+                out_specs=(specs_in, P(ROW_AXIS)),
+                check_rep=False)
+            return sharded(g_const, state)
+
+        return jax.jit(step)
 
     def step(g_const, state):
         state = jax.tree_util.tree_map(

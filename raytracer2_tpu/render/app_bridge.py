@@ -190,8 +190,10 @@ def make_bridge(
     neighbor_offsets: jax.Array,
     width: int,
     height: int,
+    row_base=0,
 ) -> Bridge:
-    """Assemble the full RAB closure bundle for one frame."""
+    """Assemble the full RAB closure bundle for one frame. row_base maps
+    global pixel rows into (halo-padded) G-buffer row tiles (sharding)."""
     view = g_const.view
     prev_view = g_const.prev_view
     environment = g_const.environment
@@ -199,8 +201,9 @@ def make_bridge(
     def get_gbuffer_surface(px, py, previous_frame):
         if previous_frame:
             return surface_from_gbuffer(prev_gbuffer, prev_view, px, py,
-                                        width, height)
-        return surface_from_gbuffer(gbuffer, view, px, py, width, height)
+                                        width, height, row_base=row_base)
+        return surface_from_gbuffer(gbuffer, view, px, py, width, height,
+                                    row_base=row_base)
 
     def get_conservative_visibility(surface: Surface, sample_position):
         from raytracer2_tpu.render.shading import setup_visibility_ray
@@ -235,8 +238,19 @@ def make_bridge(
         hit_anything = ~hit.missed
         geom = jnp.where(hit_anything, hit.geometry_index, 0).astype(jnp.int32)
         base = geometry_to_light[geom]
+        # one-sided emitters: a hit on the BACK face of an emissive
+        # triangle identifies no light. The solid-angle pdf cancels out of
+        # the RIS estimator (radiance * invPdf / sapdf with invPdf ~
+        # sapdf/brdfPdf), so without this test back-face hits contribute
+        # FULL front radiance — measured +41% direct light on a Cornell
+        # box whose lamp back is reachable. (The reference has the same
+        # leak, latent because its scene hides every emitter's back.)
+        tri = jnp.maximum(hit.triangle_index, 0)
+        tri_n = jnp.cross(scene.tri_edge1[tri], scene.tri_edge2[tri])
+        front = brdfm.dot3(directions.reshape(batch + (3,)), tri_n) < 0.0
         light_index = jnp.where(
-            (base != jnp.uint32(RTXDI_INVALID_LIGHT_INDEX)) & hit_anything,
+            (base != jnp.uint32(RTXDI_INVALID_LIGHT_INDEX)) & hit_anything
+            & front,
             base + hit.primitive_id, jnp.uint32(RTXDI_INVALID_LIGHT_INDEX))
         bary = brdfm.hit_uv_to_barycentric(
             jnp.stack([hit.u, hit.v], axis=-1))
@@ -246,9 +260,22 @@ def make_bridge(
         return hit_anything, light_index, rand_xy
 
     def evaluate_local_light_source_pdf(light_index):
-        """(bridge:420-434)."""
-        if local_pdf_mips is None:
-            return jnp.ones(light_index.shape, jnp.float32)
+        """(bridge:420-434) — with a bias fix the reference lacks: the
+        reference always returns the POWER pdf from the pdf texture even
+        though its app samples local lights UNIFORMLY (presampling compiled
+        out), so the BRDF candidate stream MIS-weights against a different
+        selection pdf than the light stream uses — inconsistent balance
+        denominators = biased MIS (measured +6% on Cornell with local
+        candidates enabled; dormant at reference defaults because
+        numPrimaryLocalLightSamples=0 makes localLightMisWeight 0). We
+        return the pdf of the ACTIVE local sampling mode: uniform for
+        mode 0, the power texture for modes 1/2."""
+        mode = (g_const.restir_di.initial_sampling_params
+                .local_light_sampling_mode)
+        region = g_const.light_buffer_params.local_light_buffer_region
+        if mode == 0 or local_pdf_mips is None:
+            return jnp.full(light_index.shape,
+                            1.0 / max(region.num_lights, 1), jnp.float32)
         from raytracer2_tpu.lights.pdf_texture import evaluate_pdf_texture
 
         x, y = linear_to_zcurve(light_index)

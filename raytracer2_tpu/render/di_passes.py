@@ -34,10 +34,12 @@ def di_fused_resampling_pass(
     specular_img: jax.Array,
     width: int,
     height: int,
+    row0=0,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
     """Returns (reservoirs [H, W] for the shading-input slot, diffuse,
     specular)."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
 
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),

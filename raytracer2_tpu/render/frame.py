@@ -182,14 +182,26 @@ FRAME_PASSES = ("gbuffer", "di", "brdf_rays", "shade_secondary",
 
 def render_frame(renderer: Renderer, g_const: GConst,
                  state: FrameState,
-                 stop_after: str | None = None
+                 stop_after: str | None = None,
+                 row0=0,
+                 halo_fn=None,
+                 halo_rows: int = 8,
                  ) -> tuple[FrameState, jax.Array]:
     """Execute one frame (light_passes.rs:550-663 + post-process +
     frame-state rotation). Returns (new state, display image [H, W, 3]).
     stop_after (a FRAME_PASSES name) truncates the frame after that pass
-    for cumulative-prefix profiling — the returned image is zeros then."""
+    for cumulative-prefix profiling — the returned image is zeros then.
+
+    Row sharding (parallel/mesh.py make_sharded_render_fn): `state` holds
+    this shard's row tile, row0 its first global row, and halo_fn(tree, r)
+    pads row tiles with r neighbour rows (parallel/halo.py ppermute). The
+    stencil passes (GI temporal reprojection, GI spatial) read neighbours
+    through the halo; pixel RNG/view math stays global so the sharded
+    image is identical to the single-chip one wherever reprojection stays
+    within halo_rows."""
     scene = renderer.scene
     width, height = renderer.width, renderer.height
+    height_local = state.gbuffer.depth.shape[0]
     gi_idx = g_const.restir_gi.buffer_indices
 
     # previous frame's G-buffer is the one rendered last frame
@@ -224,17 +236,30 @@ def render_frame(renderer: Renderer, g_const: GConst,
 
     # 1. G-buffer pass (light_passes.rs:598-606)
     gbuffer, motion = gbuffer_pass(
-        scene, g_const, renderer.tracers.closest_hit, width, height)
+        scene, g_const, renderer.tracers.closest_hit, width, height_local,
+        row0=row0)
     if stop_after == "gbuffer":
         return state, (gbuffer, motion)
 
+    # under sharding the bridge reads halo-padded G-buffer tiles so
+    # neighbour surface reads (temporal reprojection, spatial stencil)
+    # stay on-shard; row_base maps global rows into the padded tiles
+    if halo_fn is not None:
+        bridge_gbuffer = halo_fn(gbuffer, halo_rows)
+        bridge_prev = halo_fn(prev_gbuffer, halo_rows)
+        row_base = row0 - halo_rows
+    else:
+        bridge_gbuffer = gbuffer
+        bridge_prev = prev_gbuffer
+        row_base = 0
+
     bridge = make_bridge(
-        scene, renderer.tracers, gbuffer, prev_gbuffer, g_const,
+        scene, renderer.tracers, bridge_gbuffer, bridge_prev, g_const,
         renderer.scene_lights.lights,
         renderer.scene_lights.geometry_to_light,
         renderer.scene_lights.local_pdf_mips,
         renderer.scene_lights.env_pdf_mips,
-        renderer.neighbor_offsets, width, height)
+        renderer.neighbor_offsets, width, height, row_base=row_base)
     light_ctx = renderer.light_ctx(g_const)
 
     # lighting images persist across frames: lanes whose stores don't execute
@@ -249,7 +274,8 @@ def render_frame(renderer: Renderer, g_const: GConst,
     # 2. DI fused resampling (light_passes.rs:608-619)
     if g_const.enable_restir_di:
         di_res, diffuse, specular = di_fused_resampling_pass(
-            g_const, bridge, light_ctx, diffuse, specular, width, height)
+            g_const, bridge, light_ctx, diffuse, specular, width,
+            height_local, row0=row0)
         di_slots[g_const.restir_di.buffer_indices.shading_input_buffer_index] \
             = di_res
     if stop_after == "di":
@@ -259,13 +285,14 @@ def render_frame(renderer: Renderer, g_const: GConst,
     if g_const.enable_restir_gi:
         secondary, diffuse, specular = brdf_rays_pass(
             scene, g_const, renderer.tracers, bridge, diffuse, specular,
-            width, height)
+            width, height_local, row0=row0)
         if stop_after == "brdf_rays":
             return state, (secondary, diffuse, specular)
         gi_initial, secondary, diffuse, specular = \
             shade_secondary_surfaces_pass(
                 scene, g_const, renderer.tracers, bridge, light_ctx,
-                secondary, diffuse, specular, width, height)
+                secondary, diffuse, specular, width, height_local,
+                row0=row0)
         gi_slots[gi_idx.secondary_surface_restir_di_output_buffer_index] = \
             gi_initial
         if stop_after == "shade_secondary":
@@ -276,20 +303,23 @@ def render_frame(renderer: Renderer, g_const: GConst,
             prev_src = state.gi_reservoirs[
                 gi_idx.temporal_resampling_input_buffer_index]
             current = gi_temporal_pass(
-                g_const, bridge, current, prev_src, motion, width, height)
+                g_const, bridge, current, prev_src, motion, width,
+                height_local, row0=row0, halo_fn=halo_fn,
+                halo_rows=halo_rows)
             gi_slots[gi_idx.temporal_resampling_output_buffer_index] = current
         if stop_after == "gi_temporal":
             return state, (current, diffuse, specular)
         if g_const.enable_spatial_resampling:
             current = gi_spatial_pass(
-                g_const, bridge, current, width, height)
+                g_const, bridge, current, width, height_local, row0=row0,
+                halo_fn=halo_fn)
             gi_slots[gi_idx.spatial_resampling_output_buffer_index] = current
         if stop_after == "gi_spatial":
             return state, (current, diffuse, specular)
 
         diffuse, specular = gi_final_shading_pass(
             g_const, bridge, current, secondary, diffuse, specular,
-            width, height)
+            width, height_local, row0=row0)
     if stop_after == "gi_final":
         return state, (diffuse, specular)
 
@@ -315,7 +345,7 @@ def render_frame(renderer: Renderer, g_const: GConst,
         emissive=gbuffer.emissive,
         diffuse=diffuse,
         specular=specular)
-    output, env_motion = post_process(scene, g_const, inputs)
+    output, env_motion = post_process(scene, g_const, inputs, row0=row0)
     new_state = new_state._replace(
         motion=new_state.motion.at[..., :2].set(
             jnp.where((gbuffer.depth == jnp.float32(100000.0))[..., None],

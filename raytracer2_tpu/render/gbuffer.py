@@ -53,10 +53,12 @@ def gbuffer_pass(
     trace_fn: TraceFn,
     width: int,
     height: int,
+    row0=0,
 ) -> tuple[GBuffer, jax.Array]:
     """Trace primary rays and fill the G-buffer + motion vectors
     (g_buffer.rgen:14-47). Returns (GBuffer, motion [H, W, 3])."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0  # global rows under row-sharded tiles
     pxf = px.reshape(-1)
     pyf = py.reshape(-1)
 
@@ -99,14 +101,17 @@ def gbuffer_pass(
 
 def surface_from_gbuffer(gbuffer: GBuffer, view: PlanarViewConstants,
                          pixel_x: jax.Array, pixel_y: jax.Array,
-                         width: int, height: int) -> Surface:
+                         width: int, height: int, row_base=0) -> Surface:
     """Port of GetGBufferSurface (RtxdiApplicationBridge.glsl:295-321):
     rebuild a Surface from packed G-buffer planes at (possibly gathered)
-    pixel positions. Out-of-view positions yield invalid surfaces."""
+    pixel positions. Out-of-view positions yield invalid surfaces.
+    row_base: global row of the G-buffer tile's first row — nonzero when
+    the tile is a halo-padded row shard; view math stays global."""
     in_view = ((pixel_x >= 0) & (pixel_x < width)
                & (pixel_y >= 0) & (pixel_y < height))
     x = jnp.clip(pixel_x, 0, width - 1)
-    y = jnp.clip(pixel_y, 0, height - 1)
+    y = jnp.clip(jnp.clip(pixel_y, 0, height - 1) - row_base, 0,
+                 gbuffer.depth.shape[0] - 1)
 
     depth = jnp.where(in_view, gbuffer.depth[y, x], BACKGROUND_DEPTH)
     normal = pk.oct_unorm32_to_ndir(gbuffer.normals[y, x])
@@ -114,7 +119,8 @@ def surface_from_gbuffer(gbuffer: GBuffer, view: PlanarViewConstants,
     albedo = pk.unpack_r11g11b10_ufloat(gbuffer.diffuse_albedo[y, x])
     spec_rough = pk.unpack_rgba8_gamma_ufloat(gbuffer.specular_rough[y, x])
 
-    world_pos = raysmod.view_depth_to_world_pos(view, x, y, depth)
+    y_global = y + row_base
+    world_pos = raysmod.view_depth_to_world_pos(view, x, y_global, depth)
     view_dir = normalize(
         view.camera_direction_or_position[:3] - world_pos)
     return Surface(

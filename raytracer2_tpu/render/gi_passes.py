@@ -79,9 +79,11 @@ def brdf_rays_pass(
     specular_img: jax.Array,
     width: int,
     height: int,
+    row0=0,
 ) -> tuple[SecondaryGBuffer, jax.Array, jax.Array]:
     """brdf_rays.rgen:19-194. Returns (secondary gbuffer, diffuse, specular)."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
     pxf = px.reshape(-1)
     pyf = py.reshape(-1)
     n = pxf.shape[0]
@@ -287,10 +289,12 @@ def shade_secondary_surfaces_pass(
     specular_img: jax.Array,
     width: int,
     height: int,
+    row0=0,
 ) -> tuple[GIReservoir, SecondaryGBuffer, jax.Array, jax.Array]:
     """shade_secondary_surfaces.rgen:26-157. Returns (initial GI reservoirs
     [H, W], updated secondary gbuffer, diffuse, specular)."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
 
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32).reshape(height, width),
@@ -389,9 +393,17 @@ def gi_temporal_pass(
     motion: jax.Array,  # [H, W, 3]
     width: int,
     height: int,
+    row0=0,
+    row_base=0,
+    halo_fn=None,
+    halo_rows: int = 8,
 ) -> GIReservoir:
-    """temporal_resampling.rgen:13-48."""
+    """temporal_resampling.rgen:13-48. Under row sharding, halo_fn pads
+    the previous-frame reservoir tile by halo_rows (reprojection offsets
+    beyond the halo clamp to it — motion is rarely > 8 rows/frame) and
+    row_base maps global rows into the padded tile."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(7 * 13))
@@ -404,6 +416,12 @@ def gi_temporal_pass(
     # jittered age threshold to avoid mass reservoir death (:39-41)
     r, rng = rtrng.sample_uniform(rng)
     max_age = (tp.max_reservoir_age * (0.5 + r * 0.5)).astype(jnp.uint32)
+
+    prev_src = prev_reservoirs
+    prev_base = row_base
+    if halo_fn is not None:
+        prev_src = halo_fn(prev_reservoirs, halo_rows)
+        prev_base = row0 - halo_rows
 
     spec = gi_resampling.GITemporalSpec(
         max_history_length=tp.max_history_length,
@@ -426,8 +444,9 @@ def gi_temporal_pass(
         motion_px.reshape(-1, 3),
         tp.uniform_random_number,
         max_age.reshape(-1),
-        prev_reservoirs,
+        prev_src,
         bridge,
+        row_base=prev_base,
         )
     out = jax.tree_util.tree_map(
         lambda a: a.reshape((height, width) + a.shape[1:]), out)
@@ -448,9 +467,14 @@ def gi_spatial_pass(
     input_reservoirs: GIReservoir,  # [H, W]
     width: int,
     height: int,
+    row0=0,
+    row_base=0,
+    halo_fn=None,
 ) -> GIReservoir:
-    """spatial_resampling.rgen:13-39."""
+    """spatial_resampling.rgen:13-39. Under row sharding, halo_fn pads the
+    neighbor-source reservoir tile and row_base maps global rows into it."""
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(8 * 13))
@@ -467,6 +491,17 @@ def gi_spatial_pass(
         .active_checkerboard_field,
         neighbor_offset_mask=g_const.runtime_params.neighbor_offset_mask)
 
+    # neighbor source: under sharding, pad the current-reservoir tile
+    # with halo rows so radius-R gathers stay local (parallel/halo.py)
+    source = input_reservoirs
+    src_base = row_base
+    if halo_fn is not None:
+        import math
+
+        r = int(math.ceil(float(sp.spatial_sampling_radius))) + 1
+        source = halo_fn(input_reservoirs, r)
+        src_base = row0 - r
+
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
     out, _ = gi_resampling.gi_spatial_resampling(
         px.reshape(-1), py.reshape(-1),
@@ -474,8 +509,9 @@ def gi_spatial_pass(
         jax.tree_util.tree_map(flat, input_reservoirs),
         rtrng.RngState(seed=rng.seed.reshape(-1), index=rng.index.reshape(-1)),
         spec,
-        input_reservoirs,
-        bridge)
+        source,
+        bridge,
+        row_base=src_base)
     out = jax.tree_util.tree_map(
         lambda a: a.reshape((height, width) + a.shape[1:]), out)
     return where_gi(primary.valid, out, input_reservoirs)
@@ -504,11 +540,13 @@ def gi_final_shading_pass(
     specular_img: jax.Array,
     width: int,
     height: int,
+    row0=0,
 ) -> tuple[jax.Array, jax.Array]:
     """gi_final_shading.rgen:43-101."""
     from raytracer2_tpu.render.surface import evaluate_brdf
 
     px, py = raysmod.pixel_grid(width, height)
+    py = py + row0
     primary = bridge.get_gbuffer_surface(px, py, False)
 
     valid = gi_is_valid(reservoirs)

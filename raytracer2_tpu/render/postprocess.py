@@ -111,12 +111,14 @@ def post_process(
     scene: Scene,
     g_const: GConst,
     inputs: PostProcessInputs,
+    row0=0,
 ) -> tuple[jax.Array, jax.Array]:
     """Full pass (post_processing.comp:152-190). Returns (output [H,W,3] in
     [0,1], env_motion [H,W,2] for background pixels — the pass writes these
     into MotionVectors, post_processing.comp:178)."""
     h, w = inputs.depth.shape
     px, py = raysmod.pixel_grid(w, h)
+    py = py + row0
 
     if g_const.refrence_mode:
         col = inputs.diffuse

@@ -108,6 +108,7 @@ def gi_temporal_resampling(
     max_reservoir_age,  # [N] or scalar (jittered per pixel by the caller)
     prev_reservoirs: GIReservoir,  # [H, W] source buffer (previous frame)
     bridge: Bridge,
+    row_base=0,  # global row of the source tile's first row (sharding)
 ) -> tuple[GIReservoir, rtrng.RngState]:
     """RTXDI_GITemporalResampling (GIResamplingFunctions.hlsli:186-359)."""
     width, height = bridge.viewport
@@ -165,7 +166,10 @@ def gi_temporal_resampling(
             ix, iy, spec.active_checkerboard_field)
         rx = jnp.clip(rx, 0, width - 1)
         ry = jnp.clip(ry, 0, height - 1)
-        t_res = _gather_reservoir(prev_reservoirs, rx, ry)
+        t_res = _gather_reservoir(
+            prev_reservoirs, rx,
+            jnp.clip(ry - row_base, 0,
+                     prev_reservoirs.weight_sum.shape[0] - 1))
         ok &= is_valid(t_res)
 
         take = ok & ~found
@@ -255,6 +259,7 @@ def gi_spatial_resampling(
     spec: GISpatialSpec,
     cur_reservoirs: GIReservoir,  # [H, W] source buffer (current frame)
     bridge: Bridge,
+    row_base=0,
 ) -> tuple[GIReservoir, rtrng.RngState]:
     """RTXDI_GISpatialResampling (GIResamplingFunctions.hlsli:391-553)."""
     from raytracer2_tpu.render.surface import clamp_sample_position_into_view
@@ -297,9 +302,10 @@ def gi_spatial_resampling(
 
         rx, ry = helpers.pixel_pos_to_reservoir_pos(
             ix, iy, spec.active_checkerboard_field)
-        n_res = _gather_reservoir(cur_reservoirs,
-                                  jnp.clip(rx, 0, width - 1),
-                                  jnp.clip(ry, 0, height - 1))
+        n_res = _gather_reservoir(
+            cur_reservoirs, jnp.clip(rx, 0, width - 1),
+            jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
+                     cur_reservoirs.weight_sum.shape[0] - 1))
         ok &= is_valid(n_res)
 
         jac = calculate_jacobian(surface.world_pos, n_surface.world_pos, n_res)
@@ -327,9 +333,10 @@ def gi_spatial_resampling(
             n_surface = bridge.get_gbuffer_surface(ix, iy, False)
             rx, ry = helpers.pixel_pos_to_reservoir_pos(
                 ix, iy, spec.active_checkerboard_field)
-            n_res = _gather_reservoir(cur_reservoirs,
-                                      jnp.clip(rx, 0, width - 1),
-                                      jnp.clip(ry, 0, height - 1))
+            n_res = _gather_reservoir(
+                cur_reservoirs, jnp.clip(rx, 0, width - 1),
+                jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
+                         cur_reservoirs.weight_sum.shape[0] - 1))
             ps = bridge.get_gi_sample_target_pdf(
                 cur.position, cur.radiance, n_surface)
             if spec.bias_correction_mode == helpers.BIAS_CORRECTION_RAY_TRACED:
@@ -370,6 +377,7 @@ def gi_spatio_temporal_resampling(
     max_reservoir_age,
     prev_reservoirs: GIReservoir,
     bridge: Bridge,
+    row_base=0,
 ) -> tuple[GIReservoir, rtrng.RngState]:
     """RTXDI_GISpatioTemporalResampling (GIResamplingFunctions.hlsli:611-880).
 
@@ -381,6 +389,7 @@ def gi_spatio_temporal_resampling(
     merged, rng_state = gi_temporal_resampling(
         px, py, surface, input_reservoir, rng_state, t_spec,
         screen_space_motion, uniform_random_number, max_reservoir_age,
-        prev_reservoirs, bridge)
+        prev_reservoirs, bridge, row_base=row_base)
     return gi_spatial_resampling(
-        px, py, surface, merged, rng_state, s_spec, prev_reservoirs, bridge)
+        px, py, surface, merged, rng_state, s_spec, prev_reservoirs, bridge,
+        row_base=row_base)

@@ -114,3 +114,109 @@ def test_gi_pipeline_energy_and_structure(setup):
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.35, f"GI/display correlation too low: {corr}"
     assert 0.15 < b.mean() / max(a.mean(), 1e-6) < 6.0
+
+
+def _oracle_display(scene, renderer, view, bounces, frames=60, spp=16):
+    """Converged front-facing-emission oracle, through the display path."""
+    import jax
+
+    from raytracer2_tpu.render.postprocess import (
+        PostProcessInputs, post_process)
+
+    g1 = default_gconst(view, renderer.scene_lights.num_local_lights,
+                        refrence_mode=1)
+    fn_o = jax.jit(lambda gc: render_reference(
+        scene, gc, W, H, max_bounces=bounces, max_samples=spp,
+        trace_fn=renderer.tracers.closest_hit, emission_facing="front"))
+    acc = np.zeros((H, W, 3), np.float32)
+    for f in range(frames):
+        acc += np.asarray(fn_o(g1.replace(frame=jnp.uint32(f))))
+    acc /= frames
+    z = jnp.zeros((H, W, 3), jnp.float32)
+    disp, _ = post_process(scene, g1, PostProcessInputs(
+        depth=jnp.zeros((H, W)), diffuse_albedo=z, specular_f0=z,
+        emissive=z, diffuse=jnp.asarray(acc), specular=z))
+    return np.asarray(disp)
+
+
+def test_di_display_matches_oracle_strict(setup):
+    """THE estimator-bias gate: converged ReSTIR DI (4 NEE + 1 BRDF
+    candidates, final visibility, corrected specular accumulation) vs a
+    transport-matched converged oracle (2 bounces, front-facing emission),
+    compared on tone-mapped display images. The threshold sits just above
+    the measured Monte-Carlo noise floor (~0.024 at these sample counts) —
+    any systematic estimator bias (wrong MIS weights, pdf mismatches,
+    phantom lights, back-face leaks — all bugs this gate caught during
+    round 2) pushes RMSE well past it."""
+    import dataclasses
+
+    import jax
+
+    from raytracer2_tpu.render.frame import render_frame as rf
+
+    scene, renderer, view = setup
+    oracle = _oracle_display(scene, renderer, view, bounces=2)
+
+    g = default_gconst(view, renderer.scene_lights.num_local_lights,
+                       enable_restir_di=1, enable_restir_gi=0,
+                       enable_accumulation=1,
+                       correct_specular_accumulation=1)
+    isp = dataclasses.replace(g.restir_di.initial_sampling_params,
+                              num_primary_local_light_samples=4)
+    shp = dataclasses.replace(g.restir_di.shading_params,
+                              enable_final_visibility=1)
+    g = g.replace(restir_di=dataclasses.replace(
+        g.restir_di, initial_sampling_params=isp, shading_params=shp))
+    fn = jax.jit(lambda gc, s: rf(renderer, gc, s))
+    state = init_frame_state(W, H)
+    for f in range(150):
+        state, img = fn(g.replace(frame=jnp.uint32(f),
+                                  blend_factor=jnp.float32(1.0 / (f + 1))),
+                        state)
+    img = np.asarray(img)
+    err = float(np.sqrt(np.mean((oracle - img) ** 2)))
+    ratio = img.mean() / oracle.mean()
+    assert err < 0.04, f"DI estimator bias: display RMSE {err:.4f}"
+    assert 0.97 < ratio < 1.03, f"DI energy off: ratio {ratio:.4f}"
+
+
+def test_di_gi_display_matches_oracle(setup):
+    """Full DI+GI (one indirect bounce) vs the 3-bounce front-facing
+    oracle. Accumulation mode cannot sum multiple storing passes (the
+    reference's blend clobbers prior passes), so frames are averaged
+    externally. Wider threshold: the GI estimator carries reuse bias and
+    far more variance at these frame counts."""
+    import dataclasses
+
+    import jax
+
+    from raytracer2_tpu.render.frame import render_frame as rf
+
+    scene, renderer, view = setup
+    oracle = _oracle_display(scene, renderer, view, bounces=3)
+
+    g = default_gconst(view, renderer.scene_lights.num_local_lights,
+                       enable_restir_di=1, enable_restir_gi=1,
+                       enable_temporal_resampling=0,
+                       enable_spatial_resampling=0)
+    isp = dataclasses.replace(g.restir_di.initial_sampling_params,
+                              num_primary_local_light_samples=4)
+    g = g.replace(restir_di=dataclasses.replace(
+        g.restir_di, initial_sampling_params=isp))
+    fn = jax.jit(lambda gc, s: rf(renderer, gc, s))
+    state = init_frame_state(W, H)
+    acc = np.zeros((H, W, 3), np.float32)
+    n_frames = 120
+    for f in range(n_frames):
+        state, img = fn(g.replace(frame=jnp.uint32(f)), state)
+        acc += np.asarray(img)
+    acc /= n_frames
+    err = float(np.sqrt(np.mean((oracle - acc) ** 2)))
+    ratio = acc.mean() / oracle.mean()
+    assert err < 0.12, f"DI+GI display RMSE {err:.4f}"
+    # measured 0.835 once the DI estimator became exact: the GI chain has
+    # known energy sinks faithful to the reference — the 100x firefly
+    # clamp (shade_secondary_surfaces.rgen:119-122), the roughened-BRDF
+    # MIS in final shading (kMISRoughness 0.3), and 1-sample secondary
+    # DI. Bound it so regressions show; tightening = closing those sinks.
+    assert 0.78 < ratio < 1.10, f"DI+GI energy ratio {ratio:.4f}"
