@@ -177,6 +177,9 @@ def main(argv=None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
+    from raytracer2_tpu.utils.profiler import PassTimer, count_frame_rays
+
+    timer = PassTimer(enabled=True)
     prev_view = g_const.view
     frame_times = []
     for f in range(start_frame, start_frame + args.frames):
@@ -194,10 +197,12 @@ def main(argv=None) -> int:
                             frame=jnp.uint32(f))
         prev_view = view
 
-        t0 = time.perf_counter()
-        state, image = step(g, state)
-        jax.block_until_ready(image)
-        dt = time.perf_counter() - t0
+        with timer.time("frame", result=None):
+            t0 = time.perf_counter()
+            state, image = step(g, state)
+            jax.block_until_ready(image)
+            dt = time.perf_counter() - t0
+        timer.count("rays", count_frame_rays(g, args.width, args.height))
         frame_times.append(dt)
         if dt > FRAME_BUDGET_SECONDS and f > start_frame:
             logger.error("Over Frame Budget!!!! %.1f ms", dt * 1000)
@@ -222,6 +227,9 @@ def main(argv=None) -> int:
         "p50_ms": round(float(np.percentile(steady, 50)) * 1000, 2),
         "mean_ms": round(float(np.mean(steady)) * 1000, 2),
         "fps": round(1.0 / max(float(np.percentile(steady, 50)), 1e-9), 2),
+        # PassTimer telemetry: p50/p95 + rays/s (strictly more than the
+        # reference's FPS overlay, SURVEY.md par.5)
+        "telemetry": timer.summary(),
     }
     logger.info("metrics: %s", json.dumps(metrics))
     (out_dir / "metrics.json").write_text(json.dumps(metrics))

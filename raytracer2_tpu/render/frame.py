@@ -141,9 +141,13 @@ def create_renderer(scene: Scene, width: int, height: int,
     scene_lights = prepare_lights(scene)
     ris_buffer = None
     if presample and scene_lights.num_local_lights > 0:
-        local = presample_local_lights(presample_seed, scene_lights)
+        # jit: the 128x1024-slot mip-descent fills dispatch thousands of
+        # tiny eager ops otherwise (minutes on CPU)
+        local = jax.jit(presample_local_lights, static_argnums=0)(
+            presample_seed, scene_lights)
         if scene_lights.env_pdf_mips is not None:
-            env = presample_environment_map(presample_seed, scene_lights)
+            env = jax.jit(presample_environment_map, static_argnums=0)(
+                presample_seed, scene_lights)
         else:
             env = jnp.zeros_like(local)
         ris_buffer = jnp.concatenate([local, env], axis=0)
@@ -155,7 +159,8 @@ def create_renderer(scene: Scene, width: int, height: int,
         from raytracer2_tpu.restir.regir import presample_regir_grid
 
         regir_p = make_regir_params(scene)
-        regir_buf = presample_regir_grid(
+        regir_buf = jax.jit(presample_regir_grid,
+                            static_argnums=(0, 2, 3))(
             presample_seed, scene_lights.lights,
             LightBufferRegion(first_light_index=0,
                               num_lights=scene_lights.num_local_lights),
