@@ -76,19 +76,25 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
-        # round-2 ladder sweep: bundle 256 + group 8 + k_cand 128 beat the
-        # round-1 128/4/256 defaults by ~10% on both coherent and
-        # incoherent rays (4.5/3.9 vs 4.0/3.6 Mrays/s at 260k tris)
+        # round-2 hardware sweeps: big scenes (ladder, 260k tris) want
+        # bundle 256 + group 8 + k_cand 128 (+10% over 128/4/256); small
+        # scenes (quick corridor, C=145) regress with those (6.1 -> 5.0
+        # Mrays/s), so tuning follows the cluster count
+        big = clusters.num_clusters >= 512
+        tune = dict(bundle_size=256 if big else 128,
+                    group=8 if big else 4,
+                    k_cand=128 if big else 256)
+
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
-                o, d, tmin, tmax, scene_min, scene_max, bundle_size=256,
-                group=8, k_cand=128, presorted=presorted)
+                o, d, tmin, tmax, scene_min, scene_max,
+                presorted=presorted, **tune)
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                bundle_size=256, group=8, k_cand=128, presorted=presorted)
+                presorted=presorted, **tune)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm

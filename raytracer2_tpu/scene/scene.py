@@ -88,6 +88,9 @@ class Scene(NamedTuple):
     num_triangles: int
     num_geometries: int
     num_emissive_triangles: int  # == model.lights (model.rs:399-412)
+    # True when every texture uses the default sampler (linear + repeat):
+    # the hot sampling path then skips the per-lane mode selects
+    default_samplers_only: bool = True
 
 
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
@@ -197,6 +200,7 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         stacked = np.ones((1, 1, 1, 4), np.float32)
         texture_sizes = np.array([[1, 1]], np.int32)
         texture_modes = np.zeros((1, 3), np.int32)
+    default_samplers_only = bool((texture_modes == 0).all())
 
     if skybox is None:
         skybox = np.zeros((1, 1, 3), np.float32)
@@ -252,6 +256,7 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         num_triangles=int(tri_v0.shape[0]),
         num_geometries=g,
         num_emissive_triangles=num_lights,
+        default_samplers_only=default_samplers_only,
     )
 
 
@@ -411,7 +416,8 @@ def get_geometry_from_hit(
     if textures_enabled:
         texel = sample_texture_bilinear(
             scene.textures, scene.texture_sizes, tex_index, uv,
-            modes=scene.texture_modes)[..., :3]
+            modes=(None if scene.default_samplers_only
+                   else scene.texture_modes))[..., :3]
         color = jnp.where((tex_index > -1)[..., None], color * texel, color)
 
     metallic = grow[..., 13:14]
