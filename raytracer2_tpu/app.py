@@ -57,6 +57,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["auto", "bundle", "bundle_pallas", "scatter", "lbvh",
                             "brute"],
                    help="ray traversal engine")
+    p.add_argument("--animate", default=None,
+                   help="JSON file of per-frame GConst overrides: "
+                        '{"<frame>": {"field": value, ...}, ...} — the '
+                        "offline analogue of the imgui GConstEditor's "
+                        "live parameter edits (main.rs:522-627)")
     p.add_argument("--profile", default=None,
                    help="write a jax profiler trace to this directory")
     p.add_argument("--checkpoint", default=None,
@@ -180,6 +185,15 @@ def main(argv=None) -> int:
     from raytracer2_tpu.utils.profiler import PassTimer, count_frame_rays
 
     timer = PassTimer(enabled=True)
+
+    # live GConst mutation (imgui GConstEditor analogue, main.rs:522-627):
+    # overrides apply at their frame and persist; static-field changes
+    # retrace the frame jit exactly like the reference rebuilding state
+    animate = {}
+    if args.animate:
+        raw = json.loads(Path(args.animate).read_text())
+        animate = {int(k): v for k, v in raw.items()}
+
     prev_view = g_const.view
     frame_times = []
     for f in range(start_frame, start_frame + args.frames):
@@ -192,6 +206,9 @@ def main(argv=None) -> int:
                 window_size=(args.width, args.height), position=pos,
                 direction=tuple(-np.asarray(pos) / max(r, 1e-6)),
                 fov=args.fov)
+        if f in animate:
+            g_const = g_const.replace(**animate[f])
+            logger.info("frame %d: applied overrides %s", f, animate[f])
         view = camera.planar_view_constants()
         g = g_const.replace(view=view, prev_view=prev_view,
                             frame=jnp.uint32(f))

@@ -193,3 +193,18 @@ def test_shaped_point_light_cone():
                                np.asarray(s_plain.radiance), rtol=1e-6)
     # shaped flux factor reduces power (PolymorphicLight.glsl:170-172)
     assert float(pl.get_power(lit)[0]) < float(pl.get_power(plain)[0])
+
+
+def test_live_parameter_mutation(setup):
+    """Live GConst mutation across frames of one session (the reference's
+    imgui GConstEditor, main.rs:522-627): static-field changes retrace
+    and the frames keep rendering."""
+    renderer, g = setup
+    state = init_frame_state(W, H)
+    overrides = [{}, {"enable_restir_di": 1},
+                 {"enable_restir_gi": 0, "enable_accumulation": 1}]
+    for f, ov in enumerate(overrides):
+        g = g.replace(**ov) if ov else g
+        state, img = render_frame(renderer, g.replace(frame=jnp.uint32(f)),
+                                  state)
+        assert np.all(np.isfinite(np.asarray(img)))
