@@ -40,6 +40,32 @@ class BVH(NamedTuple):
     num_leaves: int
 
 
+def max_depth(bvh: "BVH") -> int:
+    """Host-side tree depth (root = 1). Traversal's short stack must
+    cover it (ops/traverse.py asserts this instead of silently clamping
+    on overflow, which dropped subtrees — ADVICE r1)."""
+    import numpy as np
+
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    n_int = left.shape[0]
+    depth = np.zeros(n_int + bvh.num_leaves, np.int32)
+    # children have larger post-order?? not guaranteed — BFS from root 0
+    frontier = [0]
+    depth[0] = 1
+    best = 1
+    while frontier:
+        nxt = []
+        for node in frontier:
+            if node < n_int:
+                for ch in (int(left[node]), int(right[node])):
+                    depth[ch] = depth[node] + 1
+                    best = max(best, int(depth[ch]))
+                    nxt.append(ch)
+        frontier = [n for n in nxt if n < n_int]
+    return best
+
+
 def _expand_bits_10(v: jax.Array) -> jax.Array:
     """Spread the low 10 bits of v so there are 2 zeros between each bit."""
     v = v.astype(jnp.uint32)

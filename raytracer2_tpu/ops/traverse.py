@@ -22,7 +22,7 @@ from raytracer2_tpu.ops.bvh import BVH
 from raytracer2_tpu.ops.intersect import (
     INVALID_INDEX, HitRecord, moller_trumbore, safe_inv_dir)
 
-STACK_SIZE = 64
+STACK_SIZE = 64  # checked against BVH.max_depth at trace setup
 
 
 def _traverse_one_closest(

@@ -134,6 +134,14 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
     elif backend == "lbvh":
         if bvh is None:
             bvh = build_lbvh(scene.tri_v0, scene.tri_edge1, scene.tri_edge2)
+        from raytracer2_tpu.ops.bvh import max_depth
+        from raytracer2_tpu.ops.traverse import STACK_SIZE
+
+        depth = max_depth(bvh)
+        assert depth <= STACK_SIZE, (
+            f"LBVH depth {depth} exceeds the traversal stack "
+            f"({STACK_SIZE}); overflow would silently drop subtrees "
+            "(ADVICE r1) — deepen STACK_SIZE or rebalance the tree")
 
         def closest(o, d, tmin, tmax, presorted=False):
             return traverse.closest_hit(
