@@ -256,6 +256,17 @@ def main():
             detail["ladder"] = attempt(run_reference, **ref_cfg(
                 width=1920, height=1080, spp=8, bounces=5, frames=2,
                 scene_kind="ladder"))
+            if args.mode == "all" and "mrays_nominal" in detail["ladder"]:
+                # provisional line: if the (slow) pipeline stage is cut
+                # short by an external timeout, the last complete stdout
+                # line still carries the headline metric
+                v = detail["ladder"]["mrays_nominal"]
+                print(json.dumps({
+                    "metric": "ladder_reference_mrays_per_sec_per_chip",
+                    "value": v, "unit": "Mrays/s",
+                    "vs_baseline": round(v / BASELINE_MRAYS, 4),
+                    "detail": dict(detail, provisional=True),
+                }), flush=True)
         if args.mode in ("all", "pipeline"):
             detail["pipeline"] = attempt(
                 run_pipeline,
