@@ -214,9 +214,10 @@ def test_di_gi_display_matches_oracle(setup):
     err = float(np.sqrt(np.mean((oracle - acc) ** 2)))
     ratio = acc.mean() / oracle.mean()
     assert err < 0.12, f"DI+GI display RMSE {err:.4f}"
-    # measured 0.835 once the DI estimator became exact: the GI chain has
-    # known energy sinks faithful to the reference — the 100x firefly
-    # clamp (shade_secondary_surfaces.rgen:119-122), the roughened-BRDF
-    # MIS in final shading (kMISRoughness 0.3), and 1-sample secondary
-    # DI. Bound it so regressions show; tightening = closing those sinks.
+    # measured 0.835 once the DI estimator became exact. Decomposition so
+    # far: NOT the firefly clamp (lifting it to 1e9 leaves the ratio at
+    # 0.834); the deficit lives in the GI final-shading roughened-BRDF
+    # MIS (kMISRoughness 0.3, gi_final_shading.rgen:18-28) and/or the
+    # 1-sample secondary DI — both faithful to the reference. Bound it so
+    # regressions show; tightening = auditing those two.
     assert 0.78 < ratio < 1.10, f"DI+GI energy ratio {ratio:.4f}"
