@@ -241,13 +241,13 @@ def main():
             width=64, height=64, spp=1, bounces=2, frames=2,
             scene_kind="cornell"))
         headline = ("smoke_reference_mrays_per_sec_per_chip",
-                    detail["quick"]["mrays_nominal"])
+                    detail["quick"].get("mrays_nominal", 0.0))
     elif args.quick:
         detail["quick"] = attempt(run_reference, **ref_cfg(
             width=256, height=256, spp=2, bounces=3, frames=8,
             scene_kind="corridor"))
         headline = ("reference_path_tracer_mrays_per_sec_per_chip",
-                    detail["quick"]["mrays_nominal"])
+                    detail["quick"].get("mrays_nominal", 0.0))
     else:
         if args.mode in ("all", "reference"):
             detail["quick"] = attempt(run_reference, **ref_cfg(

@@ -19,6 +19,15 @@ bundle. Two generations of candidate generation exist:
   member overlaps ranked nearest-first by lax.top_k. Measured on the
   corridor: 147 -> ~20 candidates/bundle for incoherent rays, and miss
   rays (sky) compact into empty bundles the kernel skips in ~1 us.
+- cull="exact_iv" (MEASURED NEGATIVE, kept for A/B): exact per-ray sort
+  key, but the per-bundle union from the conservative INTERVAL test over
+  all clusters (no dense second pass, no truncation). Hardware numbers
+  (260k-tri ladder, r3): incoherent rays 4.6 s vs 0.40 s for "exact" —
+  even exact-sorted bundles span enough direction spread that the
+  interval inverse collapses; and 2.2x slower on coherent Z-tile
+  primaries (the frustum interval widens with distance, so candidate
+  lists bloat and entry ranking degrades). The per-ray exact union is
+  load-bearing; do not swap it out for the cheap bundle test.
 - cull="hier" (EXPERIMENTAL, not reachable from "auto"): two-level version
   of "exact" — the dense per-ray pass runs against C/m_super supercluster
   AABBs, then only clusters inside a bundle's k_sc nearest superclusters
@@ -233,9 +242,20 @@ def _rank_rows(cand_idx, cand_t, b, kp):
 
 
 def _prepare_bundles(clusters, origins, directions, t_min, t_max,
-                     scene_min, scene_max, bundle_size, presorted):
-    """Round-1 prep: interval-arithmetic bundle culling (kept as the
-    fallback path and for A/B measurement)."""
+                     scene_min, scene_max, bundle_size, presorted,
+                     exact_key=False):
+    """Interval-union prep: per-bundle candidate lists from the
+    conservative interval slab test over ALL clusters — full length, so
+    no truncation/overflow path exists (the front-to-back early exit
+    bounds the WORK, never correctness).
+
+    exact_key=False is the round-1 octant|morton ray sort (cull=
+    "interval"). exact_key=True (cull="exact_iv") sorts rays by their
+    exact nearest-cluster id instead, which is what makes the interval
+    test tight: bundle members then share an octant and a nearest
+    cluster, so direction intervals don't span zero and the union stays
+    near the exact per-ray union at 1/bundle_size of the dense-cull
+    cost (the per-ray [n, C] pass runs once, for the key, not twice)."""
     from raytracer2_tpu.ops.traverse_bundle import (
         _bundle_bounds, sort_rays_for_coherence)
 
@@ -247,8 +267,14 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
         perm = None
         o, d, tn, tx = origins, directions, t_min, t_max_a
     else:
-        perm = sort_rays_for_coherence(origins, directions,
-                                       scene_min, scene_max)
+        if exact_key:
+            key = _cand0_sort_key(origins, directions, t_min, t_max_a,
+                                  clusters.aabb_min, clusters.aabb_max,
+                                  scene_min, scene_max)
+            perm = jnp.argsort(key)
+        else:
+            perm = sort_rays_for_coherence(origins, directions,
+                                           scene_min, scene_max)
         o, d, tn, tx = _apply_permutation(perm, [origins, directions],
                                           [t_min, t_max_a])
 
@@ -562,7 +588,7 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         return out[:-1]  # overflow flag reserved for telemetry
     return _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted)
+        bundle_size, presorted, exact_key=(cull == "exact_iv"))
 
 
 def _grid_spec(b, p, kp, sp, group, depth, n_outputs):

@@ -42,6 +42,12 @@ def exchange_row_halos(x: jax.Array, radius: int,
     """Pad a per-shard row tile with RADIUS rows from each row-neighbour
     shard (reflected at the outer image edges). Must run inside shard_map
     / pmap over `axis_name`. Returns [h_local + 2*radius, ...]."""
+    # a radius beyond the tile height would silently mis-align the halo:
+    # the slices below clamp to h_local rows while callers compute source
+    # offsets assuming full padding (ADVICE r2)
+    assert radius <= x.shape[0], (
+        f"halo radius {radius} exceeds the shard tile height {x.shape[0]}; "
+        "use more rows per shard or a smaller stencil radius")
     n = jax.lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(

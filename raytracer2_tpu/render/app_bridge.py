@@ -30,6 +30,16 @@ from raytracer2_tpu.utils import brdf as brdfm
 from raytracer2_tpu.utils.packing import linear_to_zcurve
 
 
+def _host_tris(scene: Scene):
+    """Triangle soup for the HOST-side acceleration builders: prefer the
+    numpy copies build_scene stashes (Scene.host_tri_*) — reading the
+    device arrays back through this machine's TPU relay measured 100+ s."""
+    if scene.host_tri_v0 is not None:
+        return (scene.host_tri_v0, scene.host_tri_edge1,
+                scene.host_tri_edge2)
+    return scene.tri_v0, scene.tri_edge1, scene.tri_edge2
+
+
 @dataclasses.dataclass(frozen=True)
 class Tracers:
     """Closest-hit + any-hit query closures over a scene."""
@@ -71,8 +81,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         # 3.6 Mrays/s incoherent) and sidesteps a pathological native-SAH
         # build slowdown at size 64 on large scenes (215 s -> 2 s)
         clusters = build_clusters(
-            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size or 128)
+            *_host_tris(scene), cluster_size=cluster_size or 128)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
@@ -100,8 +109,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         from raytracer2_tpu.ops import traverse_scatter as tsm
 
         clusters = build_clusters(
-            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=min(cluster_size or 64, 16))
+            *_host_tris(scene), cluster_size=min(cluster_size or 64, 16))
         sc = tsm.build_superclusters(clusters, group=16)
 
         def closest(o, d, tmin, tmax, presorted=False):
@@ -116,8 +124,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
         clusters = build_clusters(
-            scene.tri_v0, scene.tri_edge1, scene.tri_edge2,
-            cluster_size=cluster_size or 64)
+            *_host_tris(scene), cluster_size=cluster_size or 64)
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
@@ -133,7 +140,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                 sort_rays=sort_secondary)
     elif backend == "lbvh":
         if bvh is None:
-            bvh = build_lbvh(scene.tri_v0, scene.tri_edge1, scene.tri_edge2)
+            bvh = build_lbvh(*_host_tris(scene))
         from raytracer2_tpu.ops.bvh import max_depth
         from raytracer2_tpu.ops.traverse import STACK_SIZE
 

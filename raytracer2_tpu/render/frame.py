@@ -195,7 +195,10 @@ def render_frame(renderer: Renderer, g_const: GConst,
     """Execute one frame (light_passes.rs:550-663 + post-process +
     frame-state rotation). Returns (new state, display image [H, W, 3]).
     stop_after (a FRAME_PASSES name) truncates the frame after that pass
-    for cumulative-prefix profiling — the returned image is zeros then.
+    for cumulative-prefix profiling — the second return value is then that
+    pass's intermediate tuple, NOT an image ("post" has no early branch
+    and is equivalent to a full frame, which is what the cumulative bench
+    diff wants).
 
     Row sharding (parallel/mesh.py make_sharded_render_fn): `state` holds
     this shard's row tile, row0 its first global row, and halo_fn(tree, r)

@@ -92,6 +92,15 @@ class Scene(NamedTuple):
     # the hot sampling path then skips the per-lane mode selects
     default_samplers_only: bool = True
 
+    # host (numpy) copies of the world triangle soup, consumed by the
+    # host-side cluster/LBVH builders (the reference's BLAS build also runs
+    # from host-visible buffers, model.rs:379-459). Reading these back from
+    # the device instead measured 100+ s through this machine's TPU relay —
+    # the round-2 "pathological SAH build slowdown" was this readback.
+    host_tri_v0: np.ndarray | None = None
+    host_tri_edge1: np.ndarray | None = None
+    host_tri_edge2: np.ndarray | None = None
+
 
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
     """sRGB EOTF (Vulkan R8G8B8A8_SRGB sampling, model.rs:241)."""
@@ -257,6 +266,9 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         num_geometries=g,
         num_emissive_triangles=num_lights,
         default_samplers_only=default_samplers_only,
+        host_tri_v0=np.asarray(tri_v0, np.float32),
+        host_tri_edge1=np.asarray(tri_e1, np.float32),
+        host_tri_edge2=np.asarray(tri_e2, np.float32),
     )
 
 
