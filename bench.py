@@ -149,9 +149,23 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     p50 = float(np.percentile(times_ms, 50))
     rays = count_frame_rays(g_const, width, height)
 
+    # truncation telemetry (VERDICT r2 #4): True = this scene/camera
+    # overflowed the per-bundle candidate budget somewhere (possible
+    # silent misses) — tune k_cand/cluster_size until False
+    overflow = None
+    if renderer.tracers.overflow_probe is not None:
+        from raytracer2_tpu.render import rays as raysmod
+
+        px, py = raysmod.pixel_grid(width, height)
+        rays = raysmod.setup_primary_ray(
+            px.reshape(-1), py.reshape(-1), g_const.view)
+        overflow = bool(renderer.tracers.overflow_probe(
+            rays.origin, rays.direction, rays.t_min, rays.t_max))
+
     out = {
         "p50_ms": round(p50, 2),
         "p95_ms": round(float(np.percentile(times_ms, 95)), 2),
+        "traversal_overflow": overflow,
         "rays_per_frame": rays,
         "mrays_nominal": round(rays / (p50 / 1e3) / 1e6, 3),
         "scene": scene_kind,
@@ -185,6 +199,79 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     return out
 
 
+def run_rmse(size: int = 256, restir_frames: int = 400,
+             oracle_frames: int = 128, oracle_spp: int = 16,
+             backend: str = "auto") -> dict:
+    """BASELINE.md's RMSE gate measured at TPU scale (VERDICT r2 #6):
+    converged accumulated ReSTIR DI vs a transport-matched converged
+    oracle (2 bounces, front-facing emission — the matching validated by
+    tests/test_rmse.py::test_di_display_matches_oracle_strict), compared
+    on display images at `size`^2 on the Cornell box."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import init_frame_state, render_frame
+    from raytracer2_tpu.render.postprocess import (
+        PostProcessInputs, post_process)
+    from raytracer2_tpu.render.reference import render_reference
+
+    scene, renderer, cam = _build("cornell", size, size, backend)
+    view = cam.planar_view_constants()
+    n_lights = renderer.scene_lights.num_local_lights
+
+    g1 = default_gconst(view, n_lights, refrence_mode=1)
+    fn_o = jax.jit(lambda gc: render_reference(
+        scene, gc, size, size, max_bounces=2, max_samples=oracle_spp,
+        trace_fn=renderer.tracers.closest_hit, emission_facing="front"))
+    acc = np.zeros((size, size, 3), np.float32)
+    for f in range(oracle_frames):
+        acc += np.asarray(fn_o(g1.replace(frame=jnp.uint32(f))))
+    acc /= oracle_frames
+    z = jnp.zeros((size, size, 3), jnp.float32)
+    oracle, _ = post_process(scene, g1, PostProcessInputs(
+        depth=jnp.zeros((size, size)), diffuse_albedo=z, specular_f0=z,
+        emissive=z, diffuse=jnp.asarray(acc), specular=z))
+    oracle = np.asarray(oracle)
+
+    g = default_gconst(view, n_lights,
+                       enable_restir_di=1, enable_restir_gi=0,
+                       enable_accumulation=1,
+                       correct_specular_accumulation=1)
+    isp = dataclasses.replace(g.restir_di.initial_sampling_params,
+                              num_primary_local_light_samples=4)
+    shp = dataclasses.replace(g.restir_di.shading_params,
+                              enable_final_visibility=1)
+    g = g.replace(restir_di=dataclasses.replace(
+        g.restir_di, initial_sampling_params=isp, shading_params=shp))
+    fn = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+    state = init_frame_state(size, size)
+    img = None
+    for f in range(restir_frames):
+        state, img = fn(g.replace(
+            frame=jnp.uint32(f), blend_factor=jnp.float32(1.0 / (f + 1))),
+            state)
+    img = np.asarray(img)
+    rmse = float(np.sqrt(np.mean((oracle - img) ** 2)))
+    ratio = float(img.mean() / max(oracle.mean(), 1e-9))
+    return {
+        "rmse": round(rmse, 5),
+        "energy_ratio": round(ratio, 4),
+        "gate": 1e-2,
+        "passes_gate": bool(rmse <= 1e-2),
+        "size": size,
+        "restir_frames": restir_frames,
+        "oracle_frames": oracle_frames,
+        "oracle_spp": oracle_spp,
+        "config": "cornell restir-di 4NEE+1BRDF finalvis vs 2-bounce "
+                  "front-emission oracle",
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
@@ -192,9 +279,12 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="only the 256x256 round-1-comparable config")
     parser.add_argument("--mode", default="all",
-                        choices=["all", "reference", "pipeline"])
-    parser.add_argument("--per-pass", action="store_true",
-                        help="per-pass breakdown in pipeline mode")
+                        choices=["all", "reference", "pipeline", "rmse"])
+    parser.add_argument("--per-pass", action="store_true", default=None,
+                        help="per-pass breakdown in pipeline mode "
+                             "(default on for full runs)")
+    parser.add_argument("--no-per-pass", dest="per_pass",
+                        action="store_false")
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--spp", type=int, default=None)
@@ -268,13 +358,21 @@ def main():
                     "detail": dict(detail, provisional=True),
                 }), flush=True)
         if args.mode in ("all", "pipeline"):
+            per_pass = args.per_pass
+            if per_pass is None:
+                per_pass = True  # always record the breakdown (VERDICT r2)
             detail["pipeline"] = attempt(
                 run_pipeline,
                 width=args.width or 1920, height=args.height or 1080,
-                frames=args.frames or 4,
+                frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=args.per_pass)
-        if args.mode == "pipeline":
+                backend=args.backend, per_pass=per_pass)
+        if args.mode in ("all", "rmse"):
+            detail["rmse"] = attempt(run_rmse, backend=args.backend)
+        if args.mode == "rmse":
+            headline = ("restir_di_display_rmse_vs_oracle",
+                        detail["rmse"].get("rmse", 1.0))
+        elif args.mode == "pipeline":
             headline = ("restir_pipeline_p50_frame_ms",
                         detail["pipeline"].get("p50_ms", 0.0))
         elif "mrays_nominal" in detail.get("ladder", {}):
@@ -289,6 +387,10 @@ def main():
         # latency headline: vs 16 ms frame budget (BASELINE.md)
         vs = round(16.0 / max(value, 1e-9), 4)
         unit = "ms"
+    elif "rmse" in name:
+        # error headline: vs the BASELINE.md <=1e-2 gate (>1 passes)
+        vs = round(1e-2 / max(value, 1e-9), 4)
+        unit = "rmse"
     else:
         vs = round(value / BASELINE_MRAYS, 4)
         unit = "Mrays/s"

@@ -40,9 +40,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=65.0)
     p.add_argument("--orbit", action="store_true",
                    help="orbit the camera around the origin (fly-through)")
-    # GConst surface (the imgui GConstEditor fields, main.rs:522-627)
+    # GConst surface (the imgui GConstEditor fields, main.rs:522-627).
+    # NOTE: GConst itself keeps the reference's startup value
+    # enable_restir_di=0 (main.rs:391) for parity; the CLI defaults DI ON
+    # so the flagship demo command renders DI+GI with no extra flags.
     p.add_argument("--reference-mode", action="store_true")
-    p.add_argument("--enable-restir-di", type=int, default=0)
+    p.add_argument("--enable-restir-di", type=int, default=1)
     p.add_argument("--enable-restir-gi", type=int, default=1)
     p.add_argument("--enable-temporal-resampling", type=int, default=0)
     p.add_argument("--enable-spatial-resampling", type=int, default=0)
@@ -57,6 +60,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["auto", "bundle", "bundle_pallas", "scatter", "lbvh",
                             "brute"],
                    help="ray traversal engine")
+    # light-sampling subsystems (frame-1 presample dispatch analogues,
+    # light_passes.rs:538-547; ReGIR grid = local_light_sampling_mode 2)
+    p.add_argument("--presample", type=int, default=1,
+                   help="fill the RIS presample tiles at scene load")
+    p.add_argument("--regir", action="store_true",
+                   help="build the ReGIR world-space light grid (enables "
+                        "local_light_sampling_mode=2)")
+    p.add_argument("--local-light-sampling-mode", type=int, default=None,
+                   choices=[0, 1, 2],
+                   help="0 uniform, 1 power-RIS, 2 ReGIR (needs --regir)")
+    # traversal tuning (ops/pallas_traverse.py knobs)
+    p.add_argument("--cull", default=None,
+                   choices=["auto", "exact", "exact_iv", "interval", "hier"],
+                   help="bundle culling strategy (default: auto)")
+    p.add_argument("--k-cand", type=int, default=None,
+                   help="max ranked candidate clusters per bundle")
+    p.add_argument("--group", type=int, default=None,
+                   help="clusters intersected per walk step")
+    p.add_argument("--bundle-size", type=int, default=None,
+                   help="rays per traversal bundle")
+    p.add_argument("--cluster-size", type=int, default=None,
+                   help="triangles per cluster (acceleration build)")
     p.add_argument("--animate", default=None,
                    help="JSON file of per-frame GConst overrides: "
                         '{"<frame>": {"field": value, ...}, ...} — the '
@@ -142,9 +167,16 @@ def main(argv=None) -> int:
                 scene.num_triangles, scene.num_geometries,
                 scene.num_emissive_triangles)
 
+    tracer_opts = {k: v for k, v in dict(
+        cull=args.cull, k_cand=args.k_cand, group=args.group,
+        bundle_size=args.bundle_size,
+        cluster_size=args.cluster_size).items() if v is not None}
     renderer = create_renderer(scene, args.width, args.height,
                                use_bvh=not args.no_bvh,
-                               backend=args.backend)
+                               backend=args.backend,
+                               presample=bool(args.presample),
+                               regir=args.regir,
+                               tracer_opts=tracer_opts)
     camera = default_camera(
         window_size=(args.width, args.height),
         position=tuple(args.camera_pos), direction=tuple(args.camera_dir),
@@ -167,6 +199,15 @@ def main(argv=None) -> int:
         environment=environment,
         blend_factor=jnp.float32(args.blend_factor),
     )
+
+    if args.local_light_sampling_mode is not None:
+        import dataclasses
+
+        isp = dataclasses.replace(
+            g_const.restir_di.initial_sampling_params,
+            local_light_sampling_mode=args.local_light_sampling_mode)
+        g_const = g_const.replace(restir_di=dataclasses.replace(
+            g_const.restir_di, initial_sampling_params=isp))
 
     state = init_frame_state(args.width, args.height)
     start_frame = 0
@@ -238,8 +279,34 @@ def main(argv=None) -> int:
                         start_frame + args.frames)
         logger.info("checkpoint written to %s", args.checkpoint)
 
+    # traversal-truncation telemetry (VERDICT r2 #4): probe the engine with
+    # this camera's primary rays AND an incoherent bounce-like batch; True
+    # means some bundle's candidate list truncated and hits may be missed
+    # (raise --k-cand / lower --cluster-size)
+    overflow = None
+    if renderer.tracers.overflow_probe is not None:
+        from raytracer2_tpu.render import rays as raysmod
+
+        px, py = raysmod.pixel_grid(args.width, args.height)
+        rays = raysmod.setup_primary_ray(
+            px.reshape(-1), py.reshape(-1), g_const.view)
+        rng = np.random.default_rng(0)
+        d_inc = rng.normal(size=(rays.direction.shape[0], 3))
+        d_inc /= np.linalg.norm(d_inc, axis=-1, keepdims=True)
+        flag_p = renderer.tracers.overflow_probe(
+            rays.origin, rays.direction, rays.t_min, rays.t_max)
+        flag_i = renderer.tracers.overflow_probe(
+            rays.origin, jnp.asarray(d_inc, jnp.float32),
+            rays.t_min, rays.t_max)
+        overflow = bool(flag_p) or bool(flag_i)
+        if overflow:
+            logger.warning(
+                "traversal candidate truncation overflowed — some rays may "
+                "falsely miss; raise --k-cand or lower --cluster-size")
+
     steady = frame_times[1:] or frame_times
     metrics = {
+        "traversal_overflow": overflow,
         "frames": len(frame_times),
         "p50_ms": round(float(np.percentile(steady, 50)) * 1000, 2),
         "mean_ms": round(float(np.mean(steady)) * 1000, 2),

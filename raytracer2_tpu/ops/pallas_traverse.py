@@ -50,14 +50,17 @@ Kernel structure (per grid step = one bundle):
   throughput lever;
 - the walk terminates per bundle the moment the next group's best entry
   distance exceeds the bundle's worst committed hit;
-- winner tracking is ONE packed min-reduce per step: for t >= 0 the IEEE
+- winner tracking is a packed min-reduce per step: for t >= 0 the IEEE
   bit pattern is monotone, so key = (bitcast(t) & ~SLOT_MASK) | slot orders
-  first by t (low mantissa bits dropped) then by slot. Exact (t, u, v) of
-  the winning triangle are recovered on the host by re-evaluating one Wald
-  transform per ray from a flat [C*S, 12] gather.
+  first by t (low mantissa bits dropped) then by slot; the winning lane's
+  EXACT (t, u, v) and its cluster id are then extracted in-kernel with
+  equality-masked min-reduces (r3: this replaced a host-side [rays, 12]
+  Wald-row gather + re-evaluation that cost ~half the trace time — [2M]
+  -scale gathers are the most expensive op class on TPU).
 
-The kernel returns (key, group iteration) per ray; the host maps
-(iteration, slot) back to triangle ids with one gather. Correctness is
+The kernel returns (key, cluster, t, u, v) per ray; the host maps
+(cluster, key slot) to (triangle, geometry, primitive) with ONE packed
+[rays, 4] row gather from a precomputed per-slot table. Correctness is
 validated against the brute-force oracle in interpret mode and on hardware
 by tests/test_bvh.py::TestPallasTracer.
 
@@ -119,14 +122,22 @@ def _wald_rows(clusters: Clusters) -> jax.Array:
     return rows
 
 
-def _wald_flat(clusters: Clusters) -> jax.Array:
-    """[C*S, 12] per-triangle Wald transforms, contiguous per triangle, for
-    the host-side exact winner re-evaluation (one cheap row gather)."""
-    c, _, w3 = clusters.wald.shape
-    s = w3 // 3
-    return (clusters.wald.reshape(c, 4, s, 3)
-            .transpose(0, 2, 1, 3)  # [C, S, 4, 3]
-            .reshape(c * s, 12))
+def _tri_meta(clusters: Clusters, tri_geometry, tri_primitive) -> jax.Array:
+    """[C*S_pad, 4] i32 rows (tri, geometry, primitive, 0) addressed by
+    cluster * S_pad + slot: the single row gather that turns the kernel's
+    (cluster, slot) winner into the rayhit.rchit payload ids."""
+    c, s = clusters.tri_index.shape
+    sp = _s_pad(clusters)
+    tri = clusters.tri_index
+    safe = jnp.maximum(tri, 0)
+    geom = jnp.where(tri >= 0, tri_geometry[safe].astype(jnp.int32), -1)
+    prim = jnp.where(tri >= 0, tri_primitive[safe].astype(jnp.int32), 0)
+    meta = jnp.stack([tri, geom, prim, jnp.zeros_like(tri)], axis=-1)
+    if sp != s:
+        pad = jnp.broadcast_to(
+            jnp.asarray([-1, -1, 0, 0], jnp.int32), (c, sp - s, 4))
+        meta = jnp.concatenate([meta, pad], axis=1)
+    return meta.reshape(c * sp, 4)
 
 
 def _apply_permutation(perm, arrays_3, arrays_1):
@@ -570,6 +581,12 @@ def _prepare_bundles_hier(clusters, origins, directions, t_min, t_max,
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
           bundle_size, presorted, cull, k_cand, m_super, k_sc):
+    """Returns (..., overflowed): overflowed is a device bool scalar, True
+    when some bundle's true candidate union exceeded k_cand (exact/hier
+    culls truncate — rays whose closest hit lives in a dropped cluster
+    would FALSELY MISS). The public entry points surface it on request
+    (VERDICT r2 #4: no silent-miss path); the interval culls keep
+    full-length lists and can never overflow."""
     if cull == "auto":
         # "hier" stays experimental: its per-bundle k_sc supercluster
         # truncation measured 3-10% false misses on a 260k-tri scene (the
@@ -577,42 +594,37 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         # correctness keeps the flat exact cull the default at every size
         cull = "exact"
     if cull == "hier":
-        out = _prepare_bundles_hier(
+        return _prepare_bundles_hier(
             clusters, origins, directions, t_min, t_max, scene_min,
             scene_max, bundle_size, presorted, k_cand, m_super, k_sc)
-        return out[:-1]
     if cull == "exact":
-        out = _prepare_bundles_exact(
+        return _prepare_bundles_exact(
             clusters, origins, directions, t_min, t_max, scene_min,
             scene_max, bundle_size, presorted, k_cand)
-        return out[:-1]  # overflow flag reserved for telemetry
-    return _prepare_bundles(
+    out = _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"))
+    return out + (jnp.asarray(False),)
 
 
-def _grid_spec(b, p, kp, sp, group, depth, n_outputs):
+def _grid_spec(b, p, kp, sp, group, depth, out_rows):
+    """Per-bundle I/O layout (r3): rays ride as ONE component-major
+    [8, P] block (ox oy oz dx dy dz tn tx) — the round-2 [P, 3] o/d
+    blocks were 256 separate 12-byte row DMAs per grid step and set a
+    ~6 us/bundle latency floor on their own; component-major rows are
+    contiguous. Outputs likewise pack into one [out_rows, P] block."""
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cand_count
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),  # o
-            pl.BlockSpec((p, 3), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),  # d
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # t_min
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # t_max
+            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # rays8
             pl.BlockSpec(memory_space=pl.ANY),  # cand_idx (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # cand_t (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # wald (HBM, manual DMA)
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(n_outputs)
-        ],
+        out_specs=pl.BlockSpec((1, out_rows, p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((8, kp // 8), jnp.int32),
             pltpu.SMEM((8, kp // 8), jnp.float32),
@@ -621,6 +633,13 @@ def _grid_spec(b, p, kp, sp, group, depth, n_outputs):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+
+
+def _pack_rays8(o, d, tn, tx, b, p):
+    """[n,3]x2 + [n]x2 -> [B, 8, P] component-major ray blocks."""
+    packed = jnp.concatenate(
+        [o, d, tn[:, None], tx[:, None]], axis=1)  # [n, 8]
+    return packed.reshape(b, p, 8).transpose(0, 2, 1)
 
 
 def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
@@ -633,13 +652,17 @@ def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
     kr, kc = idx_row.shape
     k_max = kr * kc
 
-    idx_dma = pltpu.make_async_copy(cand_idx_hbm.at[i], idx_row,
-                                    row_sems.at[0])
-    t_dma = pltpu.make_async_copy(cand_t_hbm.at[i], t_row, row_sems.at[1])
-    idx_dma.start()
-    t_dma.start()
-    idx_dma.wait()
-    t_dma.wait()
+    # empty bundles (sky/dead rays compact to the tail) skip the row DMAs
+    @pl.when(n_cand > 0)
+    def _():
+        idx_dma = pltpu.make_async_copy(cand_idx_hbm.at[i], idx_row,
+                                        row_sems.at[0])
+        t_dma = pltpu.make_async_copy(cand_t_hbm.at[i], t_row,
+                                      row_sems.at[1])
+        idx_dma.start()
+        t_dma.start()
+        idx_dma.wait()
+        t_dma.wait()
 
     def cand_at(ref, k):
         return ref[jax.lax.div(k, kc), jax.lax.rem(k, kc)]
@@ -674,15 +697,16 @@ def _bc_f32(x):
     return pltpu.bitcast(x.reshape(1, -1), jnp.float32).reshape(-1)
 
 
-def _intersect_block(w, o_ref, d_ref):
+def _intersect_block(w, rt):
     """Wald intersection of the whole bundle vs one block of clusters.
-    Returns (t, uu, vv, valid) as [P, W] arrays (W = group * S_pad)."""
-    ox = o_ref[:, 0:1]
-    oy = o_ref[:, 1:2]
-    oz = o_ref[:, 2:3]
-    dx = d_ref[:, 0:1]
-    dy = d_ref[:, 1:2]
-    dz3 = d_ref[:, 2:3]
+    rt: [P, 8] per-ray columns (ox oy oz dx dy dz tn tx). Returns
+    (t, uu, vv, valid) as [P, W] arrays (W = group * S_pad)."""
+    ox = rt[:, 0:1]
+    oy = rt[:, 1:2]
+    oz = rt[:, 2:3]
+    dx = rt[:, 3:4]
+    dy = rt[:, 4:5]
+    dz3 = rt[:, 5:6]
 
     def affine(c, px, py2, pz, bias):
         out = px * w[0 + c][None] + py2 * w[3 + c][None] \
@@ -706,40 +730,48 @@ def _intersect_block(w, o_ref, d_ref):
 
 
 def _walk_kernel(cand_count_ref,
-                 o_ref, d_ref, tmin_ref, tmax_ref,
+                 rays_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
-                 key_out, it_out,
+                 out_ref,
                  idx_row, t_row, scratch, sems, row_sems,
                  *, group):
     """One bundle per grid step, `group` clusters per walk iteration;
-    packed-key winner tracking (module doc)."""
-    p = o_ref.shape[0]
+    packed-key winner tracking + in-kernel exact winner extraction
+    (module doc). Output rows: key, ci, t, u, v (floats bitcast i32)."""
+    p = rays_ref.shape[-1]
     n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
         cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
         idx_row, t_row, scratch, sems, row_sems, group)
 
-    tn_col = tmin_ref[0, 0][:, None]
-    tx = tmax_ref[0, 0]
+    rt = jnp.transpose(rays_ref[0])  # [P, 8]: one XLU transpose per bundle
+    tn_col = rt[:, 6:7]
+    tx = rt[:, 7]
 
     w_lanes = scratch.shape[-1]  # group * S_pad
     sp = w_lanes // group
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, w_lanes), 1)
+    # per-lane group-member index as a [1, W] row (used to stamp each lane
+    # with its candidate's cluster id — scalar selects on one row, not P)
+    grp_row = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1) // sp
     # init key from per-ray t_max: IEEE bits are monotone for t >= 0; dead
     # lanes (t_max < 0) get a negative key no hit can beat. Low bits are
     # SET here (round up) so a real hit at exactly t_max still wins.
     init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
 
-    init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32))
+    big_f = jnp.float32(3e38)
+    big_i = jnp.int32(0x7FFFFFFF)
+    init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32),
+            tx, jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
 
     def cond(state):
-        it, best_key, _ = state
+        it, best_key = state[0], state[1]
         # rounding the cleared slot bits UP keeps the exit conservative
         worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
         return (it * group < n_cand) & (
             cand_at(t_row, jnp.minimum(it * group, k_max - 1)) <= worst)
 
     def body(state):
-        it, best_key, best_it = state
+        it, best_key, best_ci, best_t, best_u, best_v = state
         slot = jax.lax.rem(it, depth)
 
         for g in range(group):
@@ -752,7 +784,7 @@ def _walk_kernel(cand_count_ref,
             def _(g=g):
                 fetch(it * group + g, g).wait()
 
-        t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
+        t, uu, vv, valid = _intersect_block(scratch[slot], rt)
         hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                & (t > tn_col))
         # lanes of group members beyond n_cand hold stale data: mask them
@@ -762,12 +794,31 @@ def _walk_kernel(cand_count_ref,
             (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
             jnp.int32(MISS_KEY))
         step_key = jnp.min(key, axis=-1)
+
+        # exact winner extraction: the winning lane is unique (the slot in
+        # the low key bits is the lane index), so an equality-masked min
+        # recovers its full-precision t/u/v and cluster id — no gathers
+        is_win = key == step_key[:, None]
+        ci_row = jnp.zeros((1, w_lanes), jnp.int32)
+        for g in range(group):
+            cig = cand_at(idx_row,
+                          jnp.minimum(it * group + g, k_max - 1))
+            ci_row = jnp.where(grp_row == g, cig, ci_row)
+        step_t = jnp.min(jnp.where(is_win, t, big_f), axis=-1)
+        step_u = jnp.min(jnp.where(is_win, uu, big_f), axis=-1)
+        step_v = jnp.min(jnp.where(is_win, vv, big_f), axis=-1)
+        step_ci = jnp.min(jnp.where(is_win, ci_row, big_i), axis=-1)
+
         better = step_key < best_key
         best_key = jnp.minimum(step_key, best_key)
-        best_it = jnp.where(better, it, best_it)
-        return it + 1, best_key, best_it
+        best_ci = jnp.where(better, step_ci, best_ci)
+        best_t = jnp.where(better, step_t, best_t)
+        best_u = jnp.where(better, step_u, best_u)
+        best_v = jnp.where(better, step_v, best_v)
+        return it + 1, best_key, best_ci, best_t, best_u, best_v
 
-    it_final, best_key, best_it = jax.lax.while_loop(cond, body, init)
+    (it_final, best_key, best_ci, best_t, best_u, best_v) = \
+        jax.lax.while_loop(cond, body, init)
 
     # drain: an early exit (entry distance > worst hit) leaves up to
     # depth-1 group prefetches in flight; wait on them or the semaphore
@@ -778,27 +829,31 @@ def _walk_kernel(cand_count_ref,
             def _(off=off, g=g):
                 fetch((it_final + off) * group + g, g).wait()
 
-    key_out[0, 0, :] = best_key
-    it_out[0, 0, :] = best_it
+    out_ref[0, 0, :] = best_key
+    out_ref[0, 1, :] = best_ci
+    out_ref[0, 2, :] = _bc_i32(best_t)
+    out_ref[0, 3, :] = _bc_i32(best_u)
+    out_ref[0, 4, :] = _bc_i32(best_v)
 
 
 def _occlude_kernel(cand_count_ref,
-                    o_ref, d_ref, tmin_ref, tmax_ref,
+                    rays_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
                     idx_row, t_row, scratch, sems, row_sems,
                     *, group):
     """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
     bundle exits once every live ray is blocked or candidates run out."""
-    p = o_ref.shape[0]
+    p = rays_ref.shape[-1]
     n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
         cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
         idx_row, t_row, scratch, sems, row_sems, group)
 
-    tn = tmin_ref[0, 0]
-    tx = tmax_ref[0, 0]
-    tn_col = tn[:, None]
-    tx_col = tx[:, None]
+    rt = jnp.transpose(rays_ref[0])  # [P, 8]
+    tn = rt[:, 6]
+    tx = rt[:, 7]
+    tn_col = rt[:, 6:7]
+    tx_col = rt[:, 7:8]
 
     w_lanes = scratch.shape[-1]
     sp = w_lanes // group
@@ -832,7 +887,7 @@ def _occlude_kernel(cand_count_ref,
             def _(g=g):
                 fetch(it * group + g, g).wait()
 
-        t, uu, vv, valid = _intersect_block(scratch[slot], o_ref, d_ref)
+        t, uu, vv, valid = _intersect_block(scratch[slot], rt)
         hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                & (t > tn_col) & (t < tx_col))
         hit &= slot_iota < (n_cand - it * group) * sp
@@ -851,7 +906,7 @@ def _occlude_kernel(cand_count_ref,
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
-                                   "m_super", "k_sc"))
+                                   "m_super", "k_sc", "with_overflow"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -869,38 +924,43 @@ def occluded_bundle_pallas(
     depth: int = 2,
     m_super: int = 32,
     k_sc: int = 12,
+    with_overflow: bool = False,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
     lighting_passes/TraceVisibility.glsl semantics). Pass presorted=True
     when the rays are already coherent (e.g. Z-curve pixel order) to skip
-    the cull-order sort + permutation gathers."""
+    the cull-order sort + permutation gathers. with_overflow=True also
+    returns the candidate-truncation flag (module doc of _prep)."""
     sp = _s_pad(clusters)
     group = max(1, min(group, (1 << SLOT_BITS) // sp))
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
-     n, b, kp, _) = _prep(
+     n, b, kp, _, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
+    rays8 = _pack_rays8(o, d, tn, tx, b, p)
 
-    (hit,) = pl.pallas_call(
+    hit = pl.pallas_call(
         partial(_occlude_kernel, group=group),
-        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, n_outputs=1),
-        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)],
+        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, out_rows=1),
+        out_shape=jax.ShapeDtypeStruct((b, 1, p), jnp.int32),
         interpret=interpret,
-    )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
-      cand_idx, cand_t, wald)
+    )(cand_count, rays8, cand_idx, cand_t, wald)
     hit = hit.reshape(n)[:n_orig]
     if perm is not None:
         hit = hit[jnp.argsort(perm)]
-    return hit.astype(jnp.bool_)
+    blocked = hit.astype(jnp.bool_)
+    if with_overflow:
+        return blocked, overflowed
+    return blocked
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
-                                   "m_super", "k_sc"))
+                                   "m_super", "k_sc", "with_overflow"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -920,76 +980,72 @@ def closest_hit_bundle_pallas(
     depth: int = 2,
     m_super: int = 32,
     k_sc: int = 12,
+    with_overflow: bool = False,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
-    src/shaders/common.glsl:23-28)."""
+    src/shaders/common.glsl:23-28). with_overflow=True returns
+    (HitRecord, overflowed) — see _prep."""
     sp = _s_pad(clusters)
     group = max(1, min(group, (1 << SLOT_BITS) // sp))
     assert group * sp <= (1 << SLOT_BITS), \
         "packed winner keys carry the slot in the low SLOT_BITS bits"
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
-     n, b, kp, t_max_orig) = _prep(
+     n, b, kp, t_max_orig, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
+    rays8 = _pack_rays8(o, d, tn, tx, b, p)
 
-    key_f, it_f = pl.pallas_call(
+    out = pl.pallas_call(
         partial(_walk_kernel, group=group),
-        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, n_outputs=2),
-        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.int32)] * 2,
+        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, out_rows=8),
+        out_shape=jax.ShapeDtypeStruct((b, 8, p), jnp.int32),
         interpret=interpret,
-    )(cand_count, o, d, tn.reshape(-1, 1, p), tx.reshape(-1, 1, p),
-      cand_idx, cand_t, wald)
-    key_f = key_f.reshape(n)
-    it_f = it_f.reshape(n)
+    )(cand_count, rays8, cand_idx, cand_t, wald)
+    key_f = out[:, 0, :].reshape(n)[:n_orig]
+    ci_f = out[:, 1, :].reshape(n)[:n_orig]
+    fbits = jax.lax.bitcast_convert_type(out[:, 2:5, :], jnp.float32)
+    t_r = fbits[:, 0, :].reshape(n)[:n_orig]
+    u_r = fbits[:, 1, :].reshape(n)[:n_orig]
+    v_r = fbits[:, 2, :].reshape(n)[:n_orig]
 
-    # map (bundle, group iteration, key slot) -> original triangle
-    s = clusters.cluster_size
-    bundle_of_ray = jnp.arange(n) // p
-    missed = it_f < 0
-    slot = key_f & SLOT_MASK
-    g = jnp.minimum(slot // sp, group - 1)
-    tri_slot = jnp.minimum(slot - g * sp, s - 1)
-    cand_k = jnp.minimum(it_f * group + g, kp - 1)
-    ci = cand_idx_flat[bundle_of_ray, jnp.maximum(cand_k, 0)]
-    tri = jnp.where(missed, -1, clusters.tri_index[ci, tri_slot])
+    # (cluster, key slot) -> (triangle, geometry, primitive): one packed
+    # row gather from the precomputed per-slot table
+    tri_slot = (key_f & SLOT_MASK) % sp
+    missed = ci_f < 0
+    safe_ci = jnp.maximum(ci_f, 0)
+    meta = _tri_meta(clusters, tri_geometry, tri_primitive)[
+        safe_ci * sp + tri_slot]  # [n, 4] i32
+    tri_r = jnp.where(missed, -1, meta[:, 0])
+    geom_r = jnp.where(missed, -1, meta[:, 1])
+    prim_r = jnp.where(missed, 0, meta[:, 2])
 
-    # exact winner re-evaluation: one [12]-row gather + 24 FMAs per ray
-    # (the kernel's packed key drops the low 10 mantissa bits of t)
-    w = _wald_flat(clusters)[ci * s + tri_slot]  # [n, 12]
-    a = w[:, :9].reshape(n, 3, 3)  # rows = inputs (x,y,z), cols = (u,v,z)
-    bias = w[:, 9:12]
-    opv = jnp.einsum("ni,nic->nc", o, a) + bias
-    dpv = jnp.einsum("ni,nic->nc", d, a)
-    safe = jnp.where(jnp.abs(dpv[:, 2]) > 1e-12, dpv[:, 2], 1.0)
-    t_ex = -opv[:, 2] / safe
-    u_ex = opv[:, 0] + t_ex * dpv[:, 0]
-    v_ex = opv[:, 1] + t_ex * dpv[:, 1]
-
-    t_r = jnp.where(missed, 0.0, t_ex)[:n_orig]
-    u_r = jnp.where(missed, 0.0, u_ex)[:n_orig]
-    v_r = jnp.where(missed, 0.0, v_ex)[:n_orig]
-    tri_r = tri[:n_orig]
     if perm is not None:
         inv_perm = jnp.argsort(perm)
-        # one packed gather instead of four (see _apply_permutation). The
-        # tri id rides along as a CONVERTED f32 (exact for ids < 2^24) —
+        # one packed gather instead of six (see _apply_permutation). The
+        # int ids ride along as CONVERTED f32 (exact for ids < 2^24) —
         # NOT a bitcast: small-int bit patterns are f32 denormals and the
         # TPU flushes those to zero in transit.
         packed = jnp.stack(
-            [t_r, u_r, v_r, tri_r.astype(jnp.float32)], axis=1)[inv_perm]
+            [t_r, u_r, v_r, tri_r.astype(jnp.float32),
+             geom_r.astype(jnp.float32), prim_r.astype(jnp.float32)],
+            axis=1)[inv_perm]
         t_r, u_r, v_r = packed[:, 0], packed[:, 1], packed[:, 2]
         tri_r = packed[:, 3].astype(jnp.int32)
+        geom_r = packed[:, 4].astype(jnp.int32)
+        prim_r = packed[:, 5].astype(jnp.int32)
     missed_r = tri_r < 0
 
-    safe_tri = jnp.maximum(tri_r, 0)
-    geom = jnp.where(missed_r, INVALID_INDEX,
-                     tri_geometry[safe_tri].astype(jnp.uint32))
-    prim = jnp.where(missed_r, jnp.uint32(0),
-                     tri_primitive[safe_tri].astype(jnp.uint32))
-    return HitRecord(
-        t=jnp.where(missed_r, t_max_orig, t_r), u=u_r, v=v_r,
+    geom = jnp.where(missed_r, INVALID_INDEX, geom_r.astype(jnp.uint32))
+    prim = jnp.where(missed_r, jnp.uint32(0), prim_r.astype(jnp.uint32))
+    rec = HitRecord(
+        t=jnp.where(missed_r, t_max_orig, t_r),
+        u=jnp.where(missed_r, 0.0, u_r),
+        v=jnp.where(missed_r, 0.0, v_r),
         geometry_index=geom, primitive_id=prim, triangle_index=tri_r)
+    if with_overflow:
+        return rec, overflowed
+    return rec

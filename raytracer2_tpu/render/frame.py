@@ -129,7 +129,8 @@ def create_renderer(scene: Scene, width: int, height: int,
                     backend: str = "auto",
                     presample: bool = True,
                     regir: bool = False,
-                    presample_seed: int = 0) -> Renderer:
+                    presample_seed: int = 0,
+                    tracer_opts: dict | None = None) -> Renderer:
     """presample=True fills the RIS tile buffer once at creation — the
     static-scene equivalent of the reference's frame-1 presample dispatch
     (light_passes.rs:538-547; the tiles only refresh with the scene).
@@ -168,7 +169,8 @@ def create_renderer(scene: Scene, width: int, height: int,
 
     return Renderer(
         scene=scene,
-        tracers=make_tracers(scene, use_bvh=use_bvh, backend=backend),
+        tracers=make_tracers(scene, use_bvh=use_bvh, backend=backend,
+                             **(tracer_opts or {})),
         scene_lights=scene_lights,
         neighbor_offsets=fill_neighbor_offsets(),
         width=width,

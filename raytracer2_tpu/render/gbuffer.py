@@ -56,15 +56,40 @@ def gbuffer_pass(
     row0=0,
 ) -> tuple[GBuffer, jax.Array]:
     """Trace primary rays and fill the G-buffer + motion vectors
-    (g_buffer.rgen:14-47). Returns (GBuffer, motion [H, W, 3])."""
+    (g_buffer.rgen:14-47). Returns (GBuffer, motion [H, W, 3]).
+
+    Rays are generated along the static pixel Z-curve and traced with
+    presorted=True: every 256-ray bundle is a compact screen tile, and the
+    tracer skips its runtime cull-sort entirely (dense per-ray key pass +
+    argsort + two permutation gathers). The HitRecord is un-Z-ordered with
+    two packed row gathers before material fetch, so everything downstream
+    stays row-major."""
+    zidx, zinv = raysmod.zorder_permutation(width, height)
     px, py = raysmod.pixel_grid(width, height)
-    py = py + row0  # global rows under row-sharded tiles
     pxf = px.reshape(-1)
-    pyf = py.reshape(-1)
+    pyf = py.reshape(-1) + row0  # global rows under row-sharded tiles
+    px_z = pxf[jnp.asarray(zidx)]
+    py_z = pyf[jnp.asarray(zidx)]
+
+    rays_z = raysmod.setup_primary_ray(px_z, py_z, g_const.view)
+    hit_z = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
+                     rays_z.t_max, presorted=True)
+    inv = jnp.asarray(zinv)
+    fpack = jnp.stack([hit_z.t, hit_z.u, hit_z.v], axis=1)[inv]
+    ipack = jnp.stack(
+        [hit_z.geometry_index.astype(jnp.int32),
+         hit_z.primitive_id.astype(jnp.int32),
+         hit_z.triangle_index], axis=1)[inv]
+    from raytracer2_tpu.ops.intersect import HitRecord
+
+    hit = HitRecord(
+        t=fpack[:, 0], u=fpack[:, 1], v=fpack[:, 2],
+        geometry_index=ipack[:, 0].astype(jnp.uint32),
+        primitive_id=ipack[:, 1].astype(jnp.uint32),
+        triangle_index=ipack[:, 2])
+    missed = hit.missed
 
     rays = raysmod.setup_primary_ray(pxf, pyf, g_const.view)
-    hit = trace_fn(rays.origin, rays.direction, rays.t_min, rays.t_max)
-    missed = hit.missed
 
     attribs = jnp.stack([hit.u, hit.v], axis=-1)
     geom = get_geometry_from_hit(
