@@ -607,65 +607,92 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
     return out + (jnp.asarray(False),)
 
 
-def _grid_spec(b, p, kp, sp, group, depth, out_rows):
-    """Per-bundle I/O layout (r3): rays ride as ONE component-major
-    [8, P] block (ox oy oz dx dy dz tn tx) — the round-2 [P, 3] o/d
-    blocks were 256 separate 12-byte row DMAs per grid step and set a
-    ~6 us/bundle latency floor on their own; component-major rows are
-    contiguous. Outputs likewise pack into one [out_rows, P] block."""
+def _grid_spec(b, p, kp, sp, group, depth, out_rows, mb):
+    """Per-grid-step I/O (r3): each step processes MB bundles — grid
+    steps with manual-DMA + while-loop bodies do not pipeline, so one
+    bundle per step pays a serialized ~6 us of block-copy latency
+    (measured; the empty-bundle floor). MB bundles amortize it. Rays
+    ride as row-major [MB*P, 8] blocks (ox oy oz dx dy dz tn tx);
+    outputs pack into one [MB, out_rows, P] block."""
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cand_count
-        grid=(b,),
+        grid=(b // mb,),
         in_specs=[
-            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((mb * p, 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # rays8
             pl.BlockSpec(memory_space=pl.ANY),  # cand_idx (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # cand_t (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # wald (HBM, manual DMA)
         ],
-        out_specs=pl.BlockSpec((1, out_rows, p), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((mb, out_rows, p), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((8, kp // 8), jnp.int32),
-            pltpu.SMEM((8, kp // 8), jnp.float32),
+            pltpu.SMEM((mb, 8, kp // 8), jnp.int32),
+            pltpu.SMEM((mb, 8, kp // 8), jnp.float32),
             pltpu.VMEM((depth, 16, group * sp), jnp.float32),
             pltpu.SemaphoreType.DMA((depth, group)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((mb, 2)),
         ],
     )
 
 
-def _pack_rays8(o, d, tn, tx, b, p):
-    """[n,3]x2 + [n]x2 -> [B, 8, P] component-major ray blocks."""
-    packed = jnp.concatenate(
-        [o, d, tn[:, None], tx[:, None]], axis=1)  # [n, 8]
-    return packed.reshape(b, p, 8).transpose(0, 2, 1)
+def _pack_rays8(o, d, tn, tx):
+    """[n,3]x2 + [n]x2 -> [n, 8] row-major ray records (no relayout —
+    a [b, p, 8] -> [b, 8, p] transpose measured 28 ms at 2M rays)."""
+    return jnp.concatenate(
+        [o, d, tn[:, None], tx[:, None]], axis=1)
 
 
-def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-                     idx_row, t_row, scratch, sems, row_sems, group):
-    """Row DMAs + shared helpers. Returns (n_cand, k_max, cand_at, fetch,
-    depth). Candidate k maps to walk group k//group, scratch lane block
-    k%group."""
-    i = pl.program_id(0)
-    n_cand = cand_count_ref[i]
-    kr, kc = idx_row.shape
-    k_max = kr * kc
+def _pad_bundles(mb, b, rays8, cand_idx, cand_t, cand_count, p):
+    """Pad the bundle dimension to a multiple of MB with empty bundles."""
+    b_pad = ((b + mb - 1) // mb) * mb
+    if b_pad != b:
+        e = b_pad - b
+        rays8 = jnp.concatenate(
+            [rays8, jnp.zeros((e * p, 8), rays8.dtype)])
+        cand_idx = jnp.concatenate(
+            [cand_idx, jnp.zeros((e,) + cand_idx.shape[1:],
+                                 cand_idx.dtype)])
+        cand_t = jnp.concatenate(
+            [cand_t, jnp.full((e,) + cand_t.shape[1:], jnp.inf,
+                              cand_t.dtype)])
+        cand_count = jnp.concatenate(
+            [cand_count, jnp.zeros((e,), cand_count.dtype)])
+    return b_pad, rays8, cand_idx, cand_t, cand_count
 
-    # empty bundles (sky/dead rays compact to the tail) skip the row DMAs
+
+def _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                    idx_rows, t_rows, row_sems):
+    """Start ALL mb bundles' candidate-row DMAs up front (latency
+    overlaps bundle 0's walk). Empty bundles skip theirs."""
+    for j in range(mb):
+        @pl.when(cand_count_ref[base + j] > 0)
+        def _(j=j):
+            pltpu.make_async_copy(cand_idx_hbm.at[base + j],
+                                  idx_rows.at[j], row_sems.at[j, 0]).start()
+            pltpu.make_async_copy(cand_t_hbm.at[base + j],
+                                  t_rows.at[j], row_sems.at[j, 1]).start()
+
+
+def _bundle_ctx(j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                wald_hbm, idx_rows, t_rows, scratch, sems, row_sems,
+                group):
+    """Wait bundle j's candidate rows; return (n_cand, k_max, cand_at,
+    fetch, depth) for its walk."""
+    n_cand = cand_count_ref[base + j]
+
     @pl.when(n_cand > 0)
     def _():
-        idx_dma = pltpu.make_async_copy(cand_idx_hbm.at[i], idx_row,
-                                        row_sems.at[0])
-        t_dma = pltpu.make_async_copy(cand_t_hbm.at[i], t_row,
-                                      row_sems.at[1])
-        idx_dma.start()
-        t_dma.start()
-        idx_dma.wait()
-        t_dma.wait()
+        pltpu.make_async_copy(cand_idx_hbm.at[base + j],
+                              idx_rows.at[j], row_sems.at[j, 0]).wait()
+        pltpu.make_async_copy(cand_t_hbm.at[base + j],
+                              t_rows.at[j], row_sems.at[j, 1]).wait()
+
+    kr, kc = idx_rows.shape[1], idx_rows.shape[2]
+    k_max = kr * kc
 
     def cand_at(ref, k):
-        return ref[jax.lax.div(k, kc), jax.lax.rem(k, kc)]
+        return ref[j, jax.lax.div(k, kc), jax.lax.rem(k, kc)]
 
     depth = scratch.shape[0]
     sp = scratch.shape[-1] // group
@@ -673,17 +700,17 @@ def _kernel_prologue(cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
     def fetch(k, g):
         """DMA for candidate k (a Python/traced scalar) whose group member
         index g is STATIC (unrolled), into the lane block of its slot."""
-        ci = cand_at(idx_row, k)
+        ci = cand_at(idx_rows, k)
         slot = jax.lax.rem(jax.lax.div(k, group), depth)
         return pltpu.make_async_copy(
             wald_hbm.at[ci],
             scratch.at[slot, :, pl.ds(g * sp, sp)],
             sems.at[slot, g])
 
-    for j in range(group * (depth - 1)):
-        @pl.when(j < n_cand)
-        def _(j=j):
-            fetch(j, j % group).start()
+    for jj in range(group * (depth - 1)):
+        @pl.when(jj < n_cand)
+        def _(jj=jj):
+            fetch(jj, jj % group).start()
 
     return n_cand, k_max, cand_at, fetch, depth
 
@@ -733,19 +760,16 @@ def _walk_kernel(cand_count_ref,
                  rays_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
                  out_ref,
-                 idx_row, t_row, scratch, sems, row_sems,
-                 *, group):
-    """One bundle per grid step, `group` clusters per walk iteration;
+                 idx_rows, t_rows, scratch, sems, row_sems,
+                 *, group, mb):
+    """MB bundles per grid step, `group` clusters per walk iteration;
     packed-key winner tracking + in-kernel exact winner extraction
-    (module doc). Output rows: key, ci, t, u, v (floats bitcast i32)."""
-    p = rays_ref.shape[-1]
-    n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
-        cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-        idx_row, t_row, scratch, sems, row_sems, group)
-
-    rt = jnp.transpose(rays_ref[0])  # [P, 8]: one XLU transpose per bundle
-    tn_col = rt[:, 6:7]
-    tx = rt[:, 7]
+    (module doc). Output rows per bundle: key, ci, t, u, v (floats
+    bitcast i32)."""
+    p = rays_ref.shape[0] // mb
+    base = pl.program_id(0) * mb
+    _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                    idx_rows, t_rows, row_sems)
 
     w_lanes = scratch.shape[-1]  # group * S_pad
     sp = w_lanes // group
@@ -753,160 +777,182 @@ def _walk_kernel(cand_count_ref,
     # per-lane group-member index as a [1, W] row (used to stamp each lane
     # with its candidate's cluster id — scalar selects on one row, not P)
     grp_row = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1) // sp
-    # init key from per-ray t_max: IEEE bits are monotone for t >= 0; dead
-    # lanes (t_max < 0) get a negative key no hit can beat. Low bits are
-    # SET here (round up) so a real hit at exactly t_max still wins.
-    init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
-
     big_f = jnp.float32(3e38)
     big_i = jnp.int32(0x7FFFFFFF)
-    init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32),
-            tx, jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
 
-    def cond(state):
-        it, best_key = state[0], state[1]
-        # rounding the cleared slot bits UP keeps the exit conservative
-        worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
-        return (it * group < n_cand) & (
-            cand_at(t_row, jnp.minimum(it * group, k_max - 1)) <= worst)
+    for j in range(mb):
+        n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
+            j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
+            idx_rows, t_rows, scratch, sems, row_sems, group)
 
-    def body(state):
-        it, best_key, best_ci, best_t, best_u, best_v = state
-        slot = jax.lax.rem(it, depth)
+        rt = rays_ref[j * p:(j + 1) * p, :]  # [P, 8]
+        tn_col = rt[:, 6:7]
+        tx = rt[:, 7]
 
-        for g in range(group):
-            @pl.when((it + depth - 1) * group + g < n_cand)
-            def _(g=g):
-                fetch((it + depth - 1) * group + g, g).start()
+        # init key from per-ray t_max: IEEE bits are monotone for t >= 0;
+        # dead lanes (t_max < 0) get a negative key no hit can beat. Low
+        # bits are SET (round up) so a hit at exactly t_max still wins.
+        init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
+        init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32),
+                tx, jnp.zeros((p,), jnp.float32),
+                jnp.zeros((p,), jnp.float32))
 
-        for g in range(group):
-            @pl.when(it * group + g < n_cand)
-            def _(g=g):
-                fetch(it * group + g, g).wait()
+        def cond(state):
+            it, best_key = state[0], state[1]
+            # rounding the cleared slot bits UP keeps the exit conservative
+            worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
+            return (it * group < n_cand) & (
+                cand_at(t_rows, jnp.minimum(it * group, k_max - 1))
+                <= worst)
 
-        t, uu, vv, valid = _intersect_block(scratch[slot], rt)
-        hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-               & (t > tn_col))
-        # lanes of group members beyond n_cand hold stale data: mask them
-        hit &= slot_iota < (n_cand - it * group) * sp
-        key = jnp.where(
-            hit,
-            (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
-            jnp.int32(MISS_KEY))
-        step_key = jnp.min(key, axis=-1)
+        def body(state, fetch=fetch, cand_at=cand_at, n_cand=n_cand,
+                 k_max=k_max, depth=depth, rt=rt, tn_col=tn_col):
+            it, best_key, best_ci, best_t, best_u, best_v = state
+            slot = jax.lax.rem(it, depth)
 
-        # exact winner extraction: the winning lane is unique (the slot in
-        # the low key bits is the lane index), so an equality-masked min
-        # recovers its full-precision t/u/v and cluster id — no gathers
-        is_win = key == step_key[:, None]
-        ci_row = jnp.zeros((1, w_lanes), jnp.int32)
-        for g in range(group):
-            cig = cand_at(idx_row,
-                          jnp.minimum(it * group + g, k_max - 1))
-            ci_row = jnp.where(grp_row == g, cig, ci_row)
-        step_t = jnp.min(jnp.where(is_win, t, big_f), axis=-1)
-        step_u = jnp.min(jnp.where(is_win, uu, big_f), axis=-1)
-        step_v = jnp.min(jnp.where(is_win, vv, big_f), axis=-1)
-        step_ci = jnp.min(jnp.where(is_win, ci_row, big_i), axis=-1)
+            for g in range(group):
+                @pl.when((it + depth - 1) * group + g < n_cand)
+                def _(g=g):
+                    fetch((it + depth - 1) * group + g, g).start()
 
-        better = step_key < best_key
-        best_key = jnp.minimum(step_key, best_key)
-        best_ci = jnp.where(better, step_ci, best_ci)
-        best_t = jnp.where(better, step_t, best_t)
-        best_u = jnp.where(better, step_u, best_u)
-        best_v = jnp.where(better, step_v, best_v)
-        return it + 1, best_key, best_ci, best_t, best_u, best_v
+            for g in range(group):
+                @pl.when(it * group + g < n_cand)
+                def _(g=g):
+                    fetch(it * group + g, g).wait()
 
-    (it_final, best_key, best_ci, best_t, best_u, best_v) = \
-        jax.lax.while_loop(cond, body, init)
+            t, uu, vv, valid = _intersect_block(scratch[slot], rt)
+            hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                   & (t > tn_col))
+            # group members beyond n_cand hold stale data: mask them
+            hit &= slot_iota < (n_cand - it * group) * sp
+            key = jnp.where(
+                hit,
+                (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
+                jnp.int32(MISS_KEY))
+            step_key = jnp.min(key, axis=-1)
 
-    # drain: an early exit (entry distance > worst hit) leaves up to
-    # depth-1 group prefetches in flight; wait on them or the semaphore
-    # counts leak into the next grid step and the DMA engine aborts
-    for off in range(depth - 1):
-        for g in range(group):
-            @pl.when((it_final + off) * group + g < n_cand)
-            def _(off=off, g=g):
-                fetch((it_final + off) * group + g, g).wait()
+            # exact winner extraction: the winning lane is unique (the
+            # slot in the low key bits is the lane index), so an
+            # equality-masked min recovers its full-precision t/u/v and
+            # cluster id — no gathers
+            is_win = key == step_key[:, None]
+            ci_row = jnp.zeros((1, w_lanes), jnp.int32)
+            for g in range(group):
+                cig = cand_at(idx_rows,
+                              jnp.minimum(it * group + g, k_max - 1))
+                ci_row = jnp.where(grp_row == g, cig, ci_row)
+            step_t = jnp.min(jnp.where(is_win, t, big_f), axis=-1)
+            step_u = jnp.min(jnp.where(is_win, uu, big_f), axis=-1)
+            step_v = jnp.min(jnp.where(is_win, vv, big_f), axis=-1)
+            step_ci = jnp.min(jnp.where(is_win, ci_row, big_i), axis=-1)
 
-    out_ref[0, 0, :] = best_key
-    out_ref[0, 1, :] = best_ci
-    out_ref[0, 2, :] = _bc_i32(best_t)
-    out_ref[0, 3, :] = _bc_i32(best_u)
-    out_ref[0, 4, :] = _bc_i32(best_v)
+            better = step_key < best_key
+            best_key = jnp.minimum(step_key, best_key)
+            best_ci = jnp.where(better, step_ci, best_ci)
+            best_t = jnp.where(better, step_t, best_t)
+            best_u = jnp.where(better, step_u, best_u)
+            best_v = jnp.where(better, step_v, best_v)
+            return it + 1, best_key, best_ci, best_t, best_u, best_v
+
+        (it_final, best_key, best_ci, best_t, best_u, best_v) = \
+            jax.lax.while_loop(cond, body, init)
+
+        # drain: an early exit (entry distance > worst hit) leaves up to
+        # depth-1 group prefetches in flight; wait on them or the
+        # semaphore counts leak into the next bundle and the DMA aborts
+        for off in range(depth - 1):
+            for g in range(group):
+                @pl.when((it_final + off) * group + g < n_cand)
+                def _(off=off, g=g):
+                    fetch((it_final + off) * group + g, g).wait()
+
+        out_ref[j, 0, :] = best_key
+        out_ref[j, 1, :] = best_ci
+        out_ref[j, 2, :] = _bc_i32(best_t)
+        out_ref[j, 3, :] = _bc_i32(best_u)
+        out_ref[j, 4, :] = _bc_i32(best_v)
 
 
 def _occlude_kernel(cand_count_ref,
                     rays_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
-                    idx_row, t_row, scratch, sems, row_sems,
-                    *, group):
-    """Any-hit variant of _walk_kernel: a ray is done at its first hit; the
-    bundle exits once every live ray is blocked or candidates run out."""
-    p = rays_ref.shape[-1]
-    n_cand, k_max, cand_at, fetch, depth = _kernel_prologue(
-        cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-        idx_row, t_row, scratch, sems, row_sems, group)
-
-    rt = jnp.transpose(rays_ref[0])  # [P, 8]
-    tn = rt[:, 6]
-    tx = rt[:, 7]
-    tn_col = rt[:, 6:7]
-    tx_col = rt[:, 7:8]
+                    idx_rows, t_rows, scratch, sems, row_sems,
+                    *, group, mb):
+    """Any-hit variant of _walk_kernel: a ray is done at its first hit;
+    each bundle exits once every live ray is blocked or candidates run
+    out."""
+    p = rays_ref.shape[0] // mb
+    base = pl.program_id(0) * mb
+    _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                    idx_rows, t_rows, row_sems)
 
     w_lanes = scratch.shape[-1]
     sp = w_lanes // group
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, w_lanes), 1)
 
-    # padded rays carry t_max < t_min: done from the start. The done mask
-    # is carried as int32 (Mosaic cannot yield i1 vectors from loops).
-    init = (jnp.int32(0), (tx <= tn).astype(jnp.int32))
+    for j in range(mb):
+        n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
+            j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
+            idx_rows, t_rows, scratch, sems, row_sems, group)
 
-    def cond(state):
-        it, done = state
-        # the farthest t_max among live rays bounds useful candidates; once
-        # every ray is done the max is -inf and the walk stops
-        worst = jnp.max(jnp.where(done != 0, -jnp.inf, tx))
-        more = it * group < n_cand
-        near_enough = cand_at(
-            t_row, jnp.minimum(it * group, k_max - 1)) <= worst
-        return more & near_enough
+        rt = rays_ref[j * p:(j + 1) * p, :]
+        tn = rt[:, 6]
+        tx = rt[:, 7]
+        tn_col = rt[:, 6:7]
+        tx_col = rt[:, 7:8]
 
-    def body(state):
-        it, done = state
-        slot = jax.lax.rem(it, depth)
+        # padded rays carry t_max < t_min: done from the start. The done
+        # mask is carried as int32 (Mosaic cannot yield i1 loop vectors).
+        init = (jnp.int32(0), (tx <= tn).astype(jnp.int32))
 
-        for g in range(group):
-            @pl.when((it + depth - 1) * group + g < n_cand)
-            def _(g=g):
-                fetch((it + depth - 1) * group + g, g).start()
+        def cond(state, tx=tx, cand_at=cand_at, n_cand=n_cand,
+                 k_max=k_max):
+            it, done = state
+            # the farthest t_max among live rays bounds useful candidates;
+            # once every ray is done the max is -inf and the walk stops
+            worst = jnp.max(jnp.where(done != 0, -jnp.inf, tx))
+            more = it * group < n_cand
+            near_enough = cand_at(
+                t_rows, jnp.minimum(it * group, k_max - 1)) <= worst
+            return more & near_enough
 
-        for g in range(group):
-            @pl.when(it * group + g < n_cand)
-            def _(g=g):
-                fetch(it * group + g, g).wait()
+        def body(state, fetch=fetch, n_cand=n_cand, depth=depth, rt=rt,
+                 tn_col=tn_col, tx_col=tx_col):
+            it, done = state
+            slot = jax.lax.rem(it, depth)
 
-        t, uu, vv, valid = _intersect_block(scratch[slot], rt)
-        hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-               & (t > tn_col) & (t < tx_col))
-        hit &= slot_iota < (n_cand - it * group) * sp
-        return it + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
+            for g in range(group):
+                @pl.when((it + depth - 1) * group + g < n_cand)
+                def _(g=g):
+                    fetch((it + depth - 1) * group + g, g).start()
 
-    it_final, done = jax.lax.while_loop(cond, body, init)
+            for g in range(group):
+                @pl.when(it * group + g < n_cand)
+                def _(g=g):
+                    fetch(it * group + g, g).wait()
 
-    for off in range(depth - 1):
-        for g in range(group):
-            @pl.when((it_final + off) * group + g < n_cand)
-            def _(off=off, g=g):
-                fetch((it_final + off) * group + g, g).wait()
+            t, uu, vv, valid = _intersect_block(scratch[slot], rt)
+            hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                   & (t > tn_col) & (t < tx_col))
+            hit &= slot_iota < (n_cand - it * group) * sp
+            return it + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
 
-    hit_out[0, 0, :] = done * (tx > tn).astype(jnp.int32)
+        it_final, done = jax.lax.while_loop(cond, body, init)
+
+        for off in range(depth - 1):
+            for g in range(group):
+                @pl.when((it_final + off) * group + g < n_cand)
+                def _(off=off, g=g):
+                    fetch((it_final + off) * group + g, g).wait()
+
+        hit_out[j, 0, :] = done * (tx > tn).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
-                                   "m_super", "k_sc", "with_overflow"))
+                                   "m_super", "k_sc", "with_overflow",
+                                   "mb"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -925,6 +971,7 @@ def occluded_bundle_pallas(
     m_super: int = 32,
     k_sc: int = 12,
     with_overflow: bool = False,
+    mb: int = 8,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -941,15 +988,18 @@ def occluded_bundle_pallas(
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
-    rays8 = _pack_rays8(o, d, tn, tx, b, p)
+    rays8 = _pack_rays8(o, d, tn, tx)
+    b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
+        mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     hit = pl.pallas_call(
-        partial(_occlude_kernel, group=group),
-        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, out_rows=1),
-        out_shape=jax.ShapeDtypeStruct((b, 1, p), jnp.int32),
+        partial(_occlude_kernel, group=group, mb=mb),
+        grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
+                             out_rows=1, mb=mb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
-    hit = hit.reshape(n)[:n_orig]
+    hit = hit.reshape(b_pad * p)[:n_orig]
     if perm is not None:
         hit = hit[jnp.argsort(perm)]
     blocked = hit.astype(jnp.bool_)
@@ -960,7 +1010,8 @@ def occluded_bundle_pallas(
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
-                                   "m_super", "k_sc", "with_overflow"))
+                                   "m_super", "k_sc", "with_overflow",
+                                   "mb"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -981,6 +1032,7 @@ def closest_hit_bundle_pallas(
     m_super: int = 32,
     k_sc: int = 12,
     with_overflow: bool = False,
+    mb: int = 8,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -997,20 +1049,24 @@ def closest_hit_bundle_pallas(
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
     wald = _wald_rows(clusters)
-    rays8 = _pack_rays8(o, d, tn, tx, b, p)
+    rays8 = _pack_rays8(o, d, tn, tx)
+    b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
+        mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     out = pl.pallas_call(
-        partial(_walk_kernel, group=group),
-        grid_spec=_grid_spec(b, p, kp, sp, group, depth=depth, out_rows=8),
-        out_shape=jax.ShapeDtypeStruct((b, 8, p), jnp.int32),
+        partial(_walk_kernel, group=group, mb=mb),
+        grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
+                             out_rows=8, mb=mb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 8, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
-    key_f = out[:, 0, :].reshape(n)[:n_orig]
-    ci_f = out[:, 1, :].reshape(n)[:n_orig]
+    m_pad = b_pad * p
+    key_f = out[:, 0, :].reshape(m_pad)[:n_orig]
+    ci_f = out[:, 1, :].reshape(m_pad)[:n_orig]
     fbits = jax.lax.bitcast_convert_type(out[:, 2:5, :], jnp.float32)
-    t_r = fbits[:, 0, :].reshape(n)[:n_orig]
-    u_r = fbits[:, 1, :].reshape(n)[:n_orig]
-    v_r = fbits[:, 2, :].reshape(n)[:n_orig]
+    t_r = fbits[:, 0, :].reshape(m_pad)[:n_orig]
+    u_r = fbits[:, 1, :].reshape(m_pad)[:n_orig]
+    v_r = fbits[:, 2, :].reshape(m_pad)[:n_orig]
 
     # (cluster, key slot) -> (triangle, geometry, primitive): one packed
     # row gather from the precomputed per-slot table
