@@ -115,7 +115,8 @@ def run_reference(width: int, height: int, spp: int, bounces: int,
 
 
 def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
-                 backend: str = "auto", per_pass: bool = False) -> dict:
+                 backend: str = "auto", per_pass: bool = False,
+                 checkerboard: bool = False) -> dict:
     """Flagship ReSTIR DI+GI frame graph: p50/p95 frame time + rays/s.
     per_pass=True additionally times cumulative pass prefixes (each a
     separately jitted frame stopped after pass k) and reports diffs."""
@@ -128,26 +129,38 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     from raytracer2_tpu.render.frame import init_frame_state, render_frame
     from raytracer2_tpu.utils.profiler import count_frame_rays
 
+    import dataclasses
+
     scene, renderer, cam = _build(scene_kind, width, height, backend)
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights)
-    state = init_frame_state(width, height)
+    state = init_frame_state(width, height, checkerboard=checkerboard)
+
+    def at_frame(i):
+        g = g_const.replace(frame=jnp.uint32(i))
+        if checkerboard:
+            g = g.replace(runtime_params=dataclasses.replace(
+                g.runtime_params, active_checkerboard_field=1 + (i & 1)))
+        return g
 
     fn = jax.jit(lambda g, s: render_frame(renderer, g, s))
-    state1, img = fn(g_const, state)
+    state1, img = fn(at_frame(0), state)
     jax.block_until_ready(img)
+    if checkerboard:  # compile the second field variant too
+        state1, img = fn(at_frame(1), state1)
+        jax.block_until_ready(img)
 
     times = []
     s = state
     for i in range(frames):
         t0 = time.perf_counter()
-        s, img = fn(g_const.replace(frame=jnp.uint32(i + 1)), s)
+        s, img = fn(at_frame(i + 1), s)
         jax.block_until_ready(img)
         times.append(time.perf_counter() - t0)
     times_ms = np.asarray(times) * 1e3
     p50 = float(np.percentile(times_ms, 50))
-    rays = count_frame_rays(g_const, width, height)
+    rays = count_frame_rays(at_frame(1), width, height)
 
     # truncation telemetry (VERDICT r2 #4): True = this scene/camera
     # overflowed the per-bundle candidate budget somewhere (possible
@@ -156,11 +169,16 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     if renderer.tracers.overflow_probe is not None:
         from raytracer2_tpu.render import rays as raysmod
 
+        # probe the primaries the way gbuffer_pass traces them: along
+        # the static Z-curve with presorted=True (row-major scanline
+        # bundles would report spuriously wide unions)
         px, py = raysmod.pixel_grid(width, height)
-        rays = raysmod.setup_primary_ray(
+        probe_rays = raysmod.setup_primary_ray(
             px.reshape(-1), py.reshape(-1), g_const.view)
+        zidx, _ = raysmod.zorder_permutation(width, height)
         overflow = bool(renderer.tracers.overflow_probe(
-            rays.origin, rays.direction, rays.t_min, rays.t_max))
+            probe_rays.origin[zidx], probe_rays.direction[zidx],
+            probe_rays.t_min, probe_rays.t_max, presorted=True))
 
     out = {
         "p50_ms": round(p50, 2),
@@ -367,6 +385,14 @@ def main():
                 frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
                 backend=args.backend, per_pass=per_pass)
+            # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
+            # lighting rays per frame, alternating fields
+            detail["pipeline_checkerboard"] = attempt(
+                run_pipeline,
+                width=args.width or 1920, height=args.height or 1080,
+                frames=args.frames or 8,
+                scene_kind=args.scene or "ladder",
+                backend=args.backend, per_pass=False, checkerboard=True)
         if args.mode in ("all", "rmse"):
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
         if args.mode == "rmse":

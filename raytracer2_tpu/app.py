@@ -82,6 +82,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="rays per traversal bundle")
     p.add_argument("--cluster-size", type=int, default=None,
                    help="triangles per cluster (acceleration build)")
+    p.add_argument("--checkerboard", action="store_true",
+                   help="checkerboard rendering: lighting passes trace "
+                        "half the pixel grid per frame, alternating "
+                        "fields (RtxdiHelpers.hlsli:16-61)")
     p.add_argument("--animate", default=None,
                    help="JSON file of per-frame GConst overrides: "
                         '{"<frame>": {"field": value, ...}, ...} — the '
@@ -209,7 +213,8 @@ def main(argv=None) -> int:
         g_const = g_const.replace(restir_di=dataclasses.replace(
             g_const.restir_di, initial_sampling_params=isp))
 
-    state = init_frame_state(args.width, args.height)
+    state = init_frame_state(args.width, args.height,
+                             checkerboard=args.checkerboard)
     start_frame = 0
     if args.resume:
         state, start_frame = load_checkpoint(args.resume, state)
@@ -253,6 +258,9 @@ def main(argv=None) -> int:
         view = camera.planar_view_constants()
         g = g_const.replace(view=view, prev_view=prev_view,
                             frame=jnp.uint32(f))
+        if args.checkerboard:
+            g = g.replace(runtime_params=dataclasses.replace(
+                g.runtime_params, active_checkerboard_field=1 + (f & 1)))
         prev_view = view
 
         with timer.time("frame", result=None):

@@ -94,36 +94,44 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
-        # round-2 hardware sweeps: big scenes (ladder, 260k tris) want
-        # bundle 256 + group 8 + k_cand 128 (+10% over 128/4/256); small
-        # scenes (quick corridor, C=145) regress with those (6.1 -> 5.0
-        # Mrays/s), so tuning follows the cluster count
+        # round-3 MB-kernel hardware sweep (260k-tri ladder, cs=128,
+        # mb=8): k_cand 256 is the largest-measured no-overflow budget
+        # (128 truncates incoherent rays — silent misses), and the best
+        # group follows ray coherence: presorted screen-tile bundles
+        # want group=4 (pri 12.8 Mr/s), scattered bounce rays group=8
+        # (inc 5.4 vs 4.8). Small scenes (quick corridor, C=145) keep
+        # the round-2 tuning.
         big = clusters.num_clusters >= 512
         tune = dict(bundle_size=256 if big else 128,
-                    group=8 if big else 4,
-                    k_cand=128 if big else 256)
+                    k_cand=256)
+        group_by_sort = {True: 4, False: 8 if big else 4}
         # explicit knobs (app.py --cull/--k-cand/--group/...) win over the
         # scene-size heuristics
         for key, val in (("cull", cull), ("k_cand", k_cand),
-                         ("group", group), ("bundle_size", bundle_size)):
+                         ("bundle_size", bundle_size)):
             if val is not None:
                 tune[key] = val
+        if group is not None:
+            group_by_sort = {True: group, False: group}
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, **tune)
+                presorted=presorted, group=group_by_sort[presorted],
+                **tune)
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, **tune)
+                presorted=presorted, group=group_by_sort[presorted],
+                **tune)
 
-        def probe(o, d, tmin, tmax):
+        def probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
+                presorted=presorted, group=group_by_sort[presorted],
                 with_overflow=True, **tune)
             return flag
 

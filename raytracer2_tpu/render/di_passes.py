@@ -35,10 +35,13 @@ def di_fused_resampling_pass(
     width: int,
     height: int,
     row0=0,
+    field: int = 0,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
-    """Returns (reservoirs [H, W] for the shading-input slot, diffuse,
-    specular)."""
-    px, py = raysmod.pixel_grid(width, height)
+    """Returns (reservoirs for the shading-input slot, diffuse,
+    specular) — [H, W] arrays, or [H, W//2] under checkerboard
+    (field != 0), where only the active half-field is sampled and
+    shaded (di_fused_resampling.rgen:19)."""
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
 
     rng = rtrng.init_random_sampler(

@@ -25,6 +25,7 @@ from raytracer2_tpu.render.gi_passes import (
     SecondaryGBuffer, brdf_rays_pass, empty_secondary_gbuffer,
     gi_final_shading_pass, gi_spatial_pass, gi_temporal_pass,
     shade_secondary_surfaces_pass)
+from raytracer2_tpu.render import rays as raysmod
 from raytracer2_tpu.render.postprocess import PostProcessInputs, post_process
 from raytracer2_tpu.render.reference import render_reference
 from raytracer2_tpu.restir.gi_reservoir import GIReservoir, empty_gi_reservoir
@@ -49,18 +50,24 @@ class FrameState(NamedTuple):
     secondary: SecondaryGBuffer
 
 
-def init_frame_state(width: int, height: int) -> FrameState:
+def init_frame_state(width: int, height: int,
+                     checkerboard: bool = False) -> FrameState:
+    """checkerboard=True sizes the per-launch-lane buffers (reservoirs,
+    secondary G-buffer) at [H, W//2] — the reference's reservoir layout
+    under RTXDI_PixelPosToReservoirPos (RtxdiHelpers.hlsli:45-51). The
+    G-buffer, motion, and lighting images stay full-res."""
+    w_res = width // 2 if checkerboard else width
     return FrameState(
         gbuffer=empty_gbuffer(height, width),
         prev_gbuffer=empty_gbuffer(height, width),
         motion=jnp.zeros((height, width, 3), jnp.float32),
         diffuse_lighting=jnp.zeros((height, width, 3), jnp.float32),
         specular_lighting=jnp.zeros((height, width, 3), jnp.float32),
-        gi_reservoirs=(empty_gi_reservoir((height, width)),
-                       empty_gi_reservoir((height, width))),
-        di_reservoirs=(empty_di_reservoir((height, width)),
-                       empty_di_reservoir((height, width))),
-        secondary=empty_secondary_gbuffer(height, width),
+        gi_reservoirs=(empty_gi_reservoir((height, w_res)),
+                       empty_gi_reservoir((height, w_res))),
+        di_reservoirs=(empty_di_reservoir((height, w_res)),
+                       empty_di_reservoir((height, w_res))),
+        secondary=empty_secondary_gbuffer(height, w_res),
     )
 
 
@@ -214,6 +221,14 @@ def render_frame(renderer: Renderer, g_const: GConst,
     height_local = state.gbuffer.depth.shape[0]
     gi_idx = g_const.restir_gi.buffer_indices
 
+    # checkerboard rendering (RtxdiHelpers.hlsli:16-61): when the static
+    # field is 1/2, every lighting pass launches on the active half-grid
+    # only — tracing half the DI/BRDF/shadow/secondary rays per frame.
+    # The G-buffer and post stay full-res; the lighting images persist so
+    # the inactive field keeps last frame's shading, exactly like the
+    # reference's unlaunched pixels.
+    field = int(g_const.runtime_params.active_checkerboard_field)
+
     # previous frame's G-buffer is the one rendered last frame
     prev_gbuffer = state.gbuffer
 
@@ -274,9 +289,11 @@ def render_frame(renderer: Renderer, g_const: GConst,
 
     # lighting images persist across frames: lanes whose stores don't execute
     # keep last frame's values, and accumulation mode blends against them
-    # (ShadingHelpers.glsl:68-81)
-    diffuse = state.diffuse_lighting
-    specular = state.specular_lighting
+    # (ShadingHelpers.glsl:68-81). Under checkerboard the passes run on the
+    # active half-field and their results scatter back afterwards.
+    diffuse = raysmod.gather_field(state.diffuse_lighting, field)
+    specular = raysmod.gather_field(state.specular_lighting, field)
+    motion_act = raysmod.gather_field(motion, field)
     gi_slots = list(state.gi_reservoirs)
     di_slots = list(state.di_reservoirs)
     secondary = state.secondary
@@ -285,7 +302,7 @@ def render_frame(renderer: Renderer, g_const: GConst,
     if g_const.enable_restir_di:
         di_res, diffuse, specular = di_fused_resampling_pass(
             g_const, bridge, light_ctx, diffuse, specular, width,
-            height_local, row0=row0)
+            height_local, row0=row0, field=field)
         di_slots[g_const.restir_di.buffer_indices.shading_input_buffer_index] \
             = di_res
     if stop_after == "di":
@@ -295,14 +312,14 @@ def render_frame(renderer: Renderer, g_const: GConst,
     if g_const.enable_restir_gi:
         secondary, diffuse, specular = brdf_rays_pass(
             scene, g_const, renderer.tracers, bridge, diffuse, specular,
-            width, height_local, row0=row0)
+            width, height_local, row0=row0, field=field)
         if stop_after == "brdf_rays":
             return state, (secondary, diffuse, specular)
         gi_initial, secondary, diffuse, specular = \
             shade_secondary_surfaces_pass(
                 scene, g_const, renderer.tracers, bridge, light_ctx,
                 secondary, diffuse, specular, width, height_local,
-                row0=row0)
+                row0=row0, field=field)
         gi_slots[gi_idx.secondary_surface_restir_di_output_buffer_index] = \
             gi_initial
         if stop_after == "shade_secondary":
@@ -313,25 +330,31 @@ def render_frame(renderer: Renderer, g_const: GConst,
             prev_src = state.gi_reservoirs[
                 gi_idx.temporal_resampling_input_buffer_index]
             current = gi_temporal_pass(
-                g_const, bridge, current, prev_src, motion, width,
+                g_const, bridge, current, prev_src, motion_act, width,
                 height_local, row0=row0, halo_fn=halo_fn,
-                halo_rows=halo_rows)
+                halo_rows=halo_rows, field=field)
             gi_slots[gi_idx.temporal_resampling_output_buffer_index] = current
         if stop_after == "gi_temporal":
             return state, (current, diffuse, specular)
         if g_const.enable_spatial_resampling:
             current = gi_spatial_pass(
                 g_const, bridge, current, width, height_local, row0=row0,
-                halo_fn=halo_fn)
+                halo_fn=halo_fn, field=field)
             gi_slots[gi_idx.spatial_resampling_output_buffer_index] = current
         if stop_after == "gi_spatial":
             return state, (current, diffuse, specular)
 
         diffuse, specular = gi_final_shading_pass(
             g_const, bridge, current, secondary, diffuse, specular,
-            width, height_local, row0=row0)
+            width, height_local, row0=row0, field=field)
     if stop_after == "gi_final":
         return state, (diffuse, specular)
+
+    # scatter the active field's shading back into the persistent
+    # full-res lighting images (inactive pixels keep last frame's values)
+    diffuse = raysmod.scatter_field(state.diffuse_lighting, diffuse, field)
+    specular = raysmod.scatter_field(state.specular_lighting, specular,
+                                     field)
 
     # accumulation blending happens inside store_shading_output per pass; the
     # persistent lighting buffers feed it next frame

@@ -80,10 +80,15 @@ def brdf_rays_pass(
     width: int,
     height: int,
     row0=0,
+    field: int = 0,
 ) -> tuple[SecondaryGBuffer, jax.Array, jax.Array]:
-    """brdf_rays.rgen:19-194. Returns (secondary gbuffer, diffuse, specular)."""
-    px, py = raysmod.pixel_grid(width, height)
+    """brdf_rays.rgen:19-194. Returns (secondary gbuffer, diffuse,
+    specular). Under checkerboard (field != 0) the launch grid is the
+    active half-field (brdf_rays.rgen:21) and every returned image is
+    [H, W//2]."""
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
     pxf = px.reshape(-1)
     pyf = py.reshape(-1)
     n = pxf.shape[0]
@@ -213,7 +218,7 @@ def brdf_rays_pass(
     tp = tp.at[..., 1].set(tp[..., 1] | (flags << 16))
 
     def img(x, extra_dims=0):
-        shape = (height, width) + ((x.shape[-1],) if extra_dims else ())
+        shape = (height, w_res) + ((x.shape[-1],) if extra_dims else ())
         mask = valid if not extra_dims else valid[..., None]
         return jnp.where(mask, x, jnp.zeros_like(x)).reshape(shape)
 
@@ -221,7 +226,7 @@ def brdf_rays_pass(
         world_pos=img(sec_pos, 1),
         normal=img(pk.ndir_to_oct_unorm32(sec_normal)),
         throughput=jnp.where(valid[..., None], tp,
-                             jnp.zeros_like(tp)).reshape(height, width, 2),
+                             jnp.zeros_like(tp)).reshape(height, w_res, 2),
         diffuse_albedo=img(pk.pack_r11g11b10_ufloat(sec_albedo)),
         specular_and_roughness=img(pk.pack_rgba8_gamma_ufloat(
             jnp.concatenate([sec_f0, sec_rough[..., None]], axis=-1))),
@@ -229,7 +234,7 @@ def brdf_rays_pass(
         pdf=img(overall_pdf),
     )
     if not g_const.enable_brdf_indirect:
-        secondary = empty_secondary_gbuffer(height, width)
+        secondary = empty_secondary_gbuffer(height, w_res)
 
     # immediate output for emissive/env radiance (:186-194)
     out_d = jnp.where(is_specular_ray[..., None], 0.0,
@@ -241,13 +246,13 @@ def brdf_rays_pass(
                      | (g_const.enable_brdf_additive_blend == 0))
     diffuse_img, specular_img = store_shading_output(
         diffuse_img, specular_img,
-        out_d.reshape(height, width, 3), out_s.reshape(height, width, 3),
+        out_d.reshape(height, w_res, 3), out_s.reshape(height, w_res, 3),
         is_first_pass=False,
         enable_accumulation=g_const.enable_accumulation,
         blend_factor=g_const.blend_factor,
         correct_specular_accumulation=bool(
             g_const.correct_specular_accumulation),
-        write_mask=write.reshape(height, width))
+        write_mask=write.reshape(height, w_res))
     return secondary, diffuse_img, specular_img
 
 
@@ -290,15 +295,19 @@ def shade_secondary_surfaces_pass(
     width: int,
     height: int,
     row0=0,
+    field: int = 0,
 ) -> tuple[GIReservoir, SecondaryGBuffer, jax.Array, jax.Array]:
-    """shade_secondary_surfaces.rgen:26-157. Returns (initial GI reservoirs
-    [H, W], updated secondary gbuffer, diffuse, specular)."""
-    px, py = raysmod.pixel_grid(width, height)
+    """shade_secondary_surfaces.rgen:26-157. Returns (initial GI
+    reservoirs, updated secondary gbuffer, diffuse, specular) at launch
+    resolution ([H, W//2] under checkerboard, shade_secondary_
+    surfaces.rgen:30 via RTXDI_ReservoirPosToPixelPos)."""
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
 
     rng = rtrng.init_random_sampler(
-        px.astype(jnp.uint32).reshape(height, width),
-        py.astype(jnp.uint32).reshape(height, width),
+        px.astype(jnp.uint32).reshape(height, w_res),
+        py.astype(jnp.uint32).reshape(height, w_res),
         g_const.frame + jnp.uint32(6 * 13))
     tile_rng = rtrng.init_random_sampler(
         (px // 16).astype(jnp.uint32), (py // 16).astype(jnp.uint32),
@@ -344,7 +353,8 @@ def shade_secondary_surfaces_pass(
                              index=jnp.where(take, adv.index, rng.index))
         o = sec_surface.world_pos.reshape(-1, 3)
         d = new_dir.reshape(-1, 3)
-        hit = tracers.closest_hit(o, d, jnp.float32(0.001), jnp.float32(1000.0))
+        hit = tracers.closest_hit(o, d, jnp.float32(0.001),
+                                  jnp.float32(1000.0))
         geom = get_geometry_from_hit(
             scene, hit.geometry_index.astype(jnp.int32),
             hit.primitive_id.astype(jnp.int32),
@@ -353,7 +363,7 @@ def shade_secondary_surfaces_pass(
         emission = jnp.where(hit.missed[..., None],
                              get_environment_radiance(
                                  scene, d, g_const.environment),
-                             geom.emission).reshape(height, width, 3)
+                             geom.emission).reshape(height, w_res, 3)
         radiance = radiance + jnp.where(
             take[..., None], emission * sec_surface.diffuse_albedo, 0.0)
 
@@ -363,7 +373,7 @@ def shade_secondary_surfaces_pass(
         sec_surface.world_pos, sec_surface.normal, radiance, secondary.pdf)
     keep = is_valid_secondary & ~output_shading_result
     reservoir_gi = where_gi(keep, reservoir_gi,
-                            empty_gi_reservoir((height, width)))
+                            empty_gi_reservoir((height, w_res)))
 
     # save radiance for final-pass MIS (:144-146)
     secondary = secondary._replace(
@@ -397,13 +407,18 @@ def gi_temporal_pass(
     row_base=0,
     halo_fn=None,
     halo_rows: int = 8,
+    field: int = 0,
 ) -> GIReservoir:
     """temporal_resampling.rgen:13-48. Under row sharding, halo_fn pads
     the previous-frame reservoir tile by halo_rows (reprojection offsets
     beyond the halo clamp to it — motion is rarely > 8 rows/frame) and
-    row_base maps global rows into the padded tile."""
-    px, py = raysmod.pixel_grid(width, height)
+    row_base maps global rows into the padded tile. Under checkerboard
+    the pass runs on the active half-field ([H, W//2] reservoirs);
+    neighbor pixel math stays in full-res pixel space and the library
+    maps to reservoir positions (temporal_resampling.rgen:16)."""
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(7 * 13))
@@ -449,7 +464,7 @@ def gi_temporal_pass(
         row_base=prev_base,
         )
     out = jax.tree_util.tree_map(
-        lambda a: a.reshape((height, width) + a.shape[1:]), out)
+        lambda a: a.reshape((height, w_res) + a.shape[1:]), out)
 
     if tp.enable_boiling_filter:
         # applied at the end of the temporal pass (DIResamplingFunctions
@@ -470,11 +485,14 @@ def gi_spatial_pass(
     row0=0,
     row_base=0,
     halo_fn=None,
+    field: int = 0,
 ) -> GIReservoir:
     """spatial_resampling.rgen:13-39. Under row sharding, halo_fn pads the
-    neighbor-source reservoir tile and row_base maps global rows into it."""
-    px, py = raysmod.pixel_grid(width, height)
+    neighbor-source reservoir tile and row_base maps global rows into it.
+    Under checkerboard the pass runs on the active half-field."""
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(8 * 13))
@@ -513,7 +531,7 @@ def gi_spatial_pass(
         bridge,
         row_base=src_base)
     out = jax.tree_util.tree_map(
-        lambda a: a.reshape((height, width) + a.shape[1:]), out)
+        lambda a: a.reshape((height, w_res) + a.shape[1:]), out)
     return where_gi(primary.valid, out, input_reservoirs)
 
 
@@ -541,11 +559,12 @@ def gi_final_shading_pass(
     width: int,
     height: int,
     row0=0,
+    field: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
-    """gi_final_shading.rgen:43-101."""
+    """gi_final_shading.rgen:43-101 (checkerboard launch mapping :45)."""
     from raytracer2_tpu.render.surface import evaluate_brdf
 
-    px, py = raysmod.pixel_grid(width, height)
+    px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
     primary = bridge.get_gbuffer_surface(px, py, False)
 

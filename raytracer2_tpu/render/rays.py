@@ -34,6 +34,49 @@ def pixel_grid(width: int, height: int) -> tuple[jax.Array, jax.Array]:
     return xs, ys
 
 
+def active_pixel_grid(width: int, height: int, field: int
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Pixel coordinates of the checkerboard launch grid.
+
+    field == 0: the full [H, W] grid. Otherwise the active half-field as
+    [H, W//2] arrays — column r maps to pixel x = 2r + ((y + field) & 1),
+    the RTXDI_ReservoirPosToPixelPos mapping (RtxdiHelpers.hlsli:53-61)
+    every checkerboard-aware raygen applies to gl_LaunchIDEXT
+    (e.g. brdf_rays.rgen:21)."""
+    if field == 0:
+        return pixel_grid(width, height)
+    assert width % 2 == 0, "checkerboard rendering needs an even width"
+    rx, ys = pixel_grid(width // 2, height)
+    return (rx << 1) + ((ys + field) & 1), ys
+
+
+def gather_field(img: jax.Array, field: int) -> jax.Array:
+    """Extract the active checkerboard field of a full-res [H, W, ...]
+    array as [H, W//2, ...] (identity when field == 0)."""
+    if field == 0:
+        return img
+    b = field & 1
+    even = img[0::2, b::2]       # rows 0,2,..: offset (0 + field) & 1
+    odd = img[1::2, 1 - b::2]    # rows 1,3,..: offset (1 + field) & 1
+    h, w = img.shape[0], img.shape[1]
+    out = jnp.empty((h, w // 2) + img.shape[2:], img.dtype)
+    out = out.at[0::2].set(even)
+    out = out.at[1::2].set(odd)
+    return out
+
+
+def scatter_field(full: jax.Array, half: jax.Array, field: int) -> jax.Array:
+    """Write the active field's [H, W//2, ...] values into a full-res
+    array, leaving inactive pixels untouched (the reference's raygens
+    simply never launch them, so their textures persist)."""
+    if field == 0:
+        return half
+    b = field & 1
+    full = full.at[0::2, b::2].set(half[0::2])
+    full = full.at[1::2, 1 - b::2].set(half[1::2])
+    return full
+
+
 @lru_cache(maxsize=8)
 def zorder_permutation(width: int, height: int
                        ) -> tuple[np.ndarray, np.ndarray]:

@@ -182,7 +182,8 @@ def di_temporal_resampling(
 
     # load + merge the previous reservoir (:259-316)
     rx, ry = helpers.pixel_pos_to_reservoir_pos(
-        jnp.clip(sel_x, 0, width - 1), jnp.clip(sel_y, 0, height - 1),
+        jnp.clip(sel_x, 0, prev_reservoirs.weight_sum.shape[1] - 1),
+        jnp.clip(sel_y, 0, height - 1),
         spec.active_checkerboard_field)
     prev = _gather_di(prev_reservoirs, rx, ry)
     prev = prev._replace(
@@ -310,8 +311,10 @@ def di_spatial_resampling(
 
         rx, ry = helpers.pixel_pos_to_reservoir_pos(
             ix, iy, spec.active_checkerboard_field)
-        n_res = _gather_di(cur_reservoirs, jnp.clip(rx, 0, width - 1),
-                           jnp.clip(ry, 0, height - 1))
+        n_res = _gather_di(
+            cur_reservoirs,
+            jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
+            jnp.clip(ry, 0, height - 1))
         n_res = n_res._replace(
             spatial_distance=n_res.spatial_distance
             + jnp.stack([ox, oy], -1))
@@ -372,8 +375,10 @@ def di_spatial_resampling(
                 ps = jnp.where(visible, ps, 0.0)
             rx, ry = helpers.pixel_pos_to_reservoir_pos(
                 ix, iy, spec.active_checkerboard_field)
-            n_res = _gather_di(cur_reservoirs, jnp.clip(rx, 0, width - 1),
-                               jnp.clip(ry, 0, height - 1))
+            n_res = _gather_di(
+                cur_reservoirs,
+                jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
+                jnp.clip(ry, 0, height - 1))
             pi = jnp.where(ok & (selected == i), ps, pi)
             pi_sum = pi_sum + jnp.where(ok, ps * n_res.m, 0.0)
         finalized = finalize_resampling(state, pi, pi_sum)

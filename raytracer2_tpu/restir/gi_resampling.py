@@ -164,7 +164,9 @@ def gi_temporal_resampling(
 
         rx, ry = helpers.pixel_pos_to_reservoir_pos(
             ix, iy, spec.active_checkerboard_field)
-        rx = jnp.clip(rx, 0, width - 1)
+        # clamp to the reservoir ARRAY's extent: under checkerboard the
+        # buffer is [H, W//2] while `width` is the full viewport
+        rx = jnp.clip(rx, 0, prev_reservoirs.weight_sum.shape[1] - 1)
         ry = jnp.clip(ry, 0, height - 1)
         t_res = _gather_reservoir(
             prev_reservoirs, rx,
@@ -303,7 +305,8 @@ def gi_spatial_resampling(
         rx, ry = helpers.pixel_pos_to_reservoir_pos(
             ix, iy, spec.active_checkerboard_field)
         n_res = _gather_reservoir(
-            cur_reservoirs, jnp.clip(rx, 0, width - 1),
+            cur_reservoirs,
+            jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
             jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
                      cur_reservoirs.weight_sum.shape[0] - 1))
         ok &= is_valid(n_res)
@@ -334,7 +337,8 @@ def gi_spatial_resampling(
             rx, ry = helpers.pixel_pos_to_reservoir_pos(
                 ix, iy, spec.active_checkerboard_field)
             n_res = _gather_reservoir(
-                cur_reservoirs, jnp.clip(rx, 0, width - 1),
+                cur_reservoirs,
+                jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
                 jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
                          cur_reservoirs.weight_sum.shape[0] - 1))
             ps = bridge.get_gi_sample_target_pdf(

@@ -82,11 +82,15 @@ def count_frame_rays(g_const, width: int, height: int) -> int:
     """Estimate rays traced per frame for the active pass configuration
     (the reference's implicit ray budget, SURVEY.md §6)."""
     n = width * height
-    rays = n  # primary G-buffer
+    rays = n  # primary G-buffer (always full-res)
     if g_const.refrence_mode:
         from raytracer2_tpu.render.reference import MAX_BOUNCES, MAX_SAMPLES
 
         return n * MAX_BOUNCES * MAX_SAMPLES
+    # checkerboard rendering launches the lighting passes on the active
+    # half-field only (RtxdiHelpers.hlsli:16-61)
+    if g_const.runtime_params.active_checkerboard_field != 0:
+        n = n // 2
     if g_const.enable_restir_di:
         isp = g_const.restir_di.initial_sampling_params
         rays += n * isp.num_primary_brdf_samples  # BRDF candidate rays

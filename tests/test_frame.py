@@ -208,3 +208,41 @@ def test_live_parameter_mutation(setup):
         state, img = render_frame(renderer, g.replace(frame=jnp.uint32(f)),
                                   state)
         assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_checkerboard_matches_full_grid(setup):
+    """Checkerboard rendering (RtxdiHelpers.hlsli:16-61): lighting passes
+    launch on alternating half-fields, reservoirs live at [H, W//2], and
+    the converged LINEAR image matches the full-grid one."""
+    import dataclasses
+
+    renderer, g0 = setup
+    g0 = g0.replace(enable_restir_di=1, enable_restir_gi=1,
+                    enable_temporal_resampling=1,
+                    enable_spatial_resampling=1)
+    isp = dataclasses.replace(g0.restir_di.initial_sampling_params,
+                              num_primary_local_light_samples=4)
+    g0 = g0.replace(restir_di=dataclasses.replace(
+        g0.restir_di, initial_sampling_params=isp))
+    fn = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+    n_frames = 60
+
+    def run(checkerboard):
+        state = init_frame_state(W, H, checkerboard=checkerboard)
+        acc = np.zeros((H, W, 3), np.float32)
+        for f in range(n_frames):
+            g = g0.replace(frame=jnp.uint32(f))
+            if checkerboard:
+                g = g.replace(runtime_params=dataclasses.replace(
+                    g.runtime_params,
+                    active_checkerboard_field=1 + (f & 1)))
+            state, _ = fn(g, state)
+            acc += np.asarray(state.diffuse_lighting)
+        return acc / n_frames, state
+
+    full, _ = run(False)
+    cb, st = run(True)
+    assert st.gi_reservoirs[0].weight_sum.shape == (H, W // 2)
+    assert np.all(np.isfinite(cb))
+    ratio = cb.mean() / full.mean()
+    assert 0.88 < ratio < 1.12, f"checkerboard energy ratio {ratio:.4f}"

@@ -182,15 +182,27 @@ def test_di_display_matches_oracle_strict(setup):
 
 def test_di_gi_display_matches_oracle(setup):
     """Full DI+GI (one indirect bounce) vs the 3-bounce front-facing
-    oracle. Accumulation mode cannot sum multiple storing passes (the
-    reference's blend clobbers prior passes), so frames are averaged
-    externally. Wider threshold: the GI estimator carries reuse bias and
-    far more variance at these frame counts."""
+    oracle, converged in LINEAR space: the persistent lighting buffers
+    are averaged across frames and post-processed once.
+
+    Round-3 decomposition of the old -16% "energy deficit": averaging
+    AgX-TONEMAPPED frames under-reports energy by the Jensen gap of the
+    concave tonemap, and the gap scales with estimator variance — the
+    spiky 1-BRDF-sample secondary DI (shade_secondary_surfaces.rgen:
+    64-117) lost ~87% of its display-space indirect while a smooth
+    4-local-sample variant lost almost none, even though both streams
+    carry identical linear-space expectations (verified at the GI
+    reservoir boundary: E[radiance*weight_sum] equal to ~3%). Converged
+    linearly, DI+GI sits at ratio ~1.03 — the estimator is unbiased, so
+    the gate is tight."""
     import dataclasses
 
     import jax
 
     from raytracer2_tpu.render.frame import render_frame as rf
+    from raytracer2_tpu.render.postprocess import (
+        PostProcessInputs, post_process)
+    from raytracer2_tpu.utils import packing as pk
 
     scene, renderer, view = setup
     oracle = _oracle_display(scene, renderer, view, bounces=3)
@@ -205,19 +217,28 @@ def test_di_gi_display_matches_oracle(setup):
         g.restir_di, initial_sampling_params=isp))
     fn = jax.jit(lambda gc, s: rf(renderer, gc, s))
     state = init_frame_state(W, H)
-    acc = np.zeros((H, W, 3), np.float32)
-    n_frames = 120
+    accd = np.zeros((H, W, 3), np.float32)
+    accs = np.zeros((H, W, 3), np.float32)
+    n_frames = 150
     for f in range(n_frames):
-        state, img = fn(g.replace(frame=jnp.uint32(f)), state)
-        acc += np.asarray(img)
-    acc /= n_frames
+        state, _ = fn(g.replace(frame=jnp.uint32(f)), state)
+        accd += np.asarray(state.diffuse_lighting)
+        accs += np.asarray(state.specular_lighting)
+    accd /= n_frames
+    accs /= n_frames
+    gb = state.gbuffer
+    acc, _ = post_process(scene, g, PostProcessInputs(
+        depth=gb.depth,
+        diffuse_albedo=pk.unpack_r11g11b10_ufloat(gb.diffuse_albedo),
+        specular_f0=pk.unpack_rgba8_gamma_ufloat(
+            gb.specular_rough)[..., :3],
+        emissive=gb.emissive,
+        diffuse=jnp.asarray(accd),
+        specular=jnp.asarray(accs)))
+    acc = np.asarray(acc)
     err = float(np.sqrt(np.mean((oracle - acc) ** 2)))
     ratio = acc.mean() / oracle.mean()
     assert err < 0.12, f"DI+GI display RMSE {err:.4f}"
-    # measured 0.835 once the DI estimator became exact. Decomposition so
-    # far: NOT the firefly clamp (lifting it to 1e9 leaves the ratio at
-    # 0.834); the deficit lives in the GI final-shading roughened-BRDF
-    # MIS (kMISRoughness 0.3, gi_final_shading.rgen:18-28) and/or the
-    # 1-sample secondary DI — both faithful to the reference. Bound it so
-    # regressions show; tightening = auditing those two.
-    assert 0.78 < ratio < 1.10, f"DI+GI energy ratio {ratio:.4f}"
+    # measured 1.028 at 300 frames (DI alone converges to 1.042 on this
+    # config; the GI increment itself is ~0.98 of the oracle's)
+    assert 0.95 < ratio < 1.10, f"DI+GI energy ratio {ratio:.4f}"
