@@ -36,11 +36,14 @@ def di_fused_resampling_pass(
     height: int,
     row0=0,
     field: int = 0,
+    primary_surface=None,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
     """Returns (reservoirs for the shading-input slot, diffuse,
     specular) — [H, W] arrays, or [H, W//2] under checkerboard
     (field != 0), where only the active half-field is sampled and
-    shaded (di_fused_resampling.rgen:19)."""
+    shaded (di_fused_resampling.rgen:19). primary_surface: the
+    gather-free launch-grid surface (surface_from_gbuffer_grid),
+    computed once per frame by render_frame."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
 
@@ -51,7 +54,8 @@ def di_fused_resampling_pass(
         (px // 16).astype(jnp.uint32), (py // 16).astype(jnp.uint32),
         g_const.frame + jnp.uint32(13))
 
-    surface = bridge.get_gbuffer_surface(px, py, False)
+    surface = (primary_surface if primary_surface is not None
+               else bridge.get_gbuffer_surface(px, py, False))
 
     isp = g_const.restir_di.initial_sampling_params
     sample_params = init_sample_parameters(

@@ -20,7 +20,8 @@ from raytracer2_tpu.lights.prepare import SceneLights, prepare_lights
 from raytracer2_tpu.params import GConst
 from raytracer2_tpu.render.app_bridge import Tracers, make_bridge, make_tracers
 from raytracer2_tpu.render.di_passes import di_fused_resampling_pass
-from raytracer2_tpu.render.gbuffer import GBuffer, empty_gbuffer, gbuffer_pass
+from raytracer2_tpu.render.gbuffer import (
+    GBuffer, empty_gbuffer, gbuffer_pass, surface_from_gbuffer_grid)
 from raytracer2_tpu.render.gi_passes import (
     SecondaryGBuffer, brdf_rays_pass, empty_secondary_gbuffer,
     gi_final_shading_pass, gi_spatial_pass, gi_temporal_pass,
@@ -287,6 +288,12 @@ def render_frame(renderer: Renderer, g_const: GConst,
         renderer.neighbor_offsets, width, height, row_base=row_base)
     light_ctx = renderer.light_ctx(g_const)
 
+    # every lighting pass reads the primary surface at exactly the launch
+    # grid; reconstruct it ONCE, gather-free (strided slices instead of
+    # [N]-row gathers — the gathers cost ~60 ms/pass at 1080p on v5e)
+    primary_surface = surface_from_gbuffer_grid(
+        gbuffer, g_const.view, row0=row0, field=field)
+
     # lighting images persist across frames: lanes whose stores don't execute
     # keep last frame's values, and accumulation mode blends against them
     # (ShadingHelpers.glsl:68-81). Under checkerboard the passes run on the
@@ -302,7 +309,8 @@ def render_frame(renderer: Renderer, g_const: GConst,
     if g_const.enable_restir_di:
         di_res, diffuse, specular = di_fused_resampling_pass(
             g_const, bridge, light_ctx, diffuse, specular, width,
-            height_local, row0=row0, field=field)
+            height_local, row0=row0, field=field,
+            primary_surface=primary_surface)
         di_slots[g_const.restir_di.buffer_indices.shading_input_buffer_index] \
             = di_res
     if stop_after == "di":
@@ -312,14 +320,15 @@ def render_frame(renderer: Renderer, g_const: GConst,
     if g_const.enable_restir_gi:
         secondary, diffuse, specular = brdf_rays_pass(
             scene, g_const, renderer.tracers, bridge, diffuse, specular,
-            width, height_local, row0=row0, field=field)
+            width, height_local, row0=row0, field=field,
+            primary_surface=primary_surface)
         if stop_after == "brdf_rays":
             return state, (secondary, diffuse, specular)
         gi_initial, secondary, diffuse, specular = \
             shade_secondary_surfaces_pass(
                 scene, g_const, renderer.tracers, bridge, light_ctx,
                 secondary, diffuse, specular, width, height_local,
-                row0=row0, field=field)
+                row0=row0, field=field, primary_surface=primary_surface)
         gi_slots[gi_idx.secondary_surface_restir_di_output_buffer_index] = \
             gi_initial
         if stop_after == "shade_secondary":
@@ -332,21 +341,24 @@ def render_frame(renderer: Renderer, g_const: GConst,
             current = gi_temporal_pass(
                 g_const, bridge, current, prev_src, motion_act, width,
                 height_local, row0=row0, halo_fn=halo_fn,
-                halo_rows=halo_rows, field=field)
+                halo_rows=halo_rows, field=field,
+                primary_surface=primary_surface)
             gi_slots[gi_idx.temporal_resampling_output_buffer_index] = current
         if stop_after == "gi_temporal":
             return state, (current, diffuse, specular)
         if g_const.enable_spatial_resampling:
             current = gi_spatial_pass(
                 g_const, bridge, current, width, height_local, row0=row0,
-                halo_fn=halo_fn, field=field)
+                halo_fn=halo_fn, field=field,
+                primary_surface=primary_surface)
             gi_slots[gi_idx.spatial_resampling_output_buffer_index] = current
         if stop_after == "gi_spatial":
             return state, (current, diffuse, specular)
 
         diffuse, specular = gi_final_shading_pass(
             g_const, bridge, current, secondary, diffuse, specular,
-            width, height_local, row0=row0, field=field)
+            width, height_local, row0=row0, field=field,
+            primary_surface=primary_surface)
     if stop_after == "gi_final":
         return state, (diffuse, specular)
 

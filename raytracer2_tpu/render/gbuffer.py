@@ -124,6 +124,47 @@ def gbuffer_pass(
     return gbuffer, motion
 
 
+def surface_from_gbuffer_grid(gbuffer: GBuffer, view: PlanarViewConstants,
+                              row0=0, field: int = 0) -> Surface:
+    """Gather-free surface reconstruction over the full (or checkerboard)
+    launch grid: planes are read whole (or by strided slicing under
+    field != 0), never through [N]-row gathers — on v5e a 2M-index row
+    gather costs ~62 ms while slices are free, and every lighting pass
+    reads the primary surface at exactly these positions. Produces values
+    bitwise-identical to surface_from_gbuffer at the same pixels (there,
+    in-view identity positions make every clip/where a no-op).
+    row0: first global row of this (row-sharded) G-buffer tile."""
+    from raytracer2_tpu.render.rays import active_pixel_grid, gather_field
+
+    h, w = gbuffer.depth.shape
+
+    depth = gather_field(gbuffer.depth, field)
+    normal = pk.oct_unorm32_to_ndir(gather_field(gbuffer.normals, field))
+    geo_normal = pk.oct_unorm32_to_ndir(
+        gather_field(gbuffer.geo_normals, field))
+    albedo = pk.unpack_r11g11b10_ufloat(
+        gather_field(gbuffer.diffuse_albedo, field))
+    spec_rough = pk.unpack_rgba8_gamma_ufloat(
+        gather_field(gbuffer.specular_rough, field))
+
+    px, py = active_pixel_grid(w, h, field)
+    world_pos = raysmod.view_depth_to_world_pos(view, px, py + row0, depth)
+    view_dir = normalize(
+        view.camera_direction_or_position[:3] - world_pos)
+    return Surface(
+        world_pos=world_pos,
+        view_dir=view_dir,
+        view_depth=depth,
+        normal=normal,
+        geo_normal=geo_normal,
+        diffuse_albedo=albedo,
+        specular_f0=spec_rough[..., :3],
+        roughness=spec_rough[..., 3],
+        diffuse_probability=get_surface_diffuse_probability(
+            albedo, spec_rough[..., :3], view_dir, normal),
+    )
+
+
 def surface_from_gbuffer(gbuffer: GBuffer, view: PlanarViewConstants,
                          pixel_x: jax.Array, pixel_y: jax.Array,
                          width: int, height: int, row_base=0) -> Surface:

@@ -81,11 +81,13 @@ def brdf_rays_pass(
     height: int,
     row0=0,
     field: int = 0,
+    primary_surface=None,
 ) -> tuple[SecondaryGBuffer, jax.Array, jax.Array]:
     """brdf_rays.rgen:19-194. Returns (secondary gbuffer, diffuse,
     specular). Under checkerboard (field != 0) the launch grid is the
     active half-field (brdf_rays.rgen:21) and every returned image is
-    [H, W//2]."""
+    [H, W//2]. primary_surface: the gather-free launch-grid surface
+    (gbuffer.surface_from_gbuffer_grid), computed once per frame."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
     w_res = width // 2 if field else width
@@ -93,7 +95,11 @@ def brdf_rays_pass(
     pyf = py.reshape(-1)
     n = pxf.shape[0]
 
-    surface = bridge.get_gbuffer_surface(pxf, pyf, False)
+    if primary_surface is not None:
+        surface = jax.tree_util.tree_map(
+            lambda a: a.reshape((n,) + a.shape[2:]), primary_surface)
+    else:
+        surface = bridge.get_gbuffer_surface(pxf, pyf, False)
     valid = surface.valid
 
     # RAB_InitRandomSampler(launchID, 5) (brdf_rays.rgen:28)
@@ -296,6 +302,7 @@ def shade_secondary_surfaces_pass(
     height: int,
     row0=0,
     field: int = 0,
+    primary_surface=None,
 ) -> tuple[GIReservoir, SecondaryGBuffer, jax.Array, jax.Array]:
     """shade_secondary_surfaces.rgen:26-157. Returns (initial GI
     reservoirs, updated secondary gbuffer, diffuse, specular) at launch
@@ -313,7 +320,8 @@ def shade_secondary_surfaces_pass(
         (px // 16).astype(jnp.uint32), (py // 16).astype(jnp.uint32),
         g_const.frame + jnp.uint32(13))
 
-    primary = bridge.get_gbuffer_surface(px, py, False)
+    primary = (primary_surface if primary_surface is not None
+               else bridge.get_gbuffer_surface(px, py, False))
     sec_surface, throughput, flags = _unpack_secondary_surface(
         secondary, primary)
 
@@ -408,6 +416,7 @@ def gi_temporal_pass(
     halo_fn=None,
     halo_rows: int = 8,
     field: int = 0,
+    primary_surface=None,
 ) -> GIReservoir:
     """temporal_resampling.rgen:13-48. Under row sharding, halo_fn pads
     the previous-frame reservoir tile by halo_rows (reprojection offsets
@@ -423,7 +432,8 @@ def gi_temporal_pass(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(7 * 13))
 
-    primary = bridge.get_gbuffer_surface(px, py, False)
+    primary = (primary_surface if primary_surface is not None
+               else bridge.get_gbuffer_surface(px, py, False))
     motion_px = raysmod.convert_motion_vector_to_pixel_space(
         g_const.view, g_const.prev_view, px, py, motion)
 
@@ -486,6 +496,7 @@ def gi_spatial_pass(
     row_base=0,
     halo_fn=None,
     field: int = 0,
+    primary_surface=None,
 ) -> GIReservoir:
     """spatial_resampling.rgen:13-39. Under row sharding, halo_fn pads the
     neighbor-source reservoir tile and row_base maps global rows into it.
@@ -496,7 +507,8 @@ def gi_spatial_pass(
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(8 * 13))
-    primary = bridge.get_gbuffer_surface(px, py, False)
+    primary = (primary_surface if primary_surface is not None
+               else bridge.get_gbuffer_surface(px, py, False))
 
     sp = g_const.restir_gi.spatial_resampling_params
     spec = gi_resampling.GISpatialSpec(
@@ -560,13 +572,15 @@ def gi_final_shading_pass(
     height: int,
     row0=0,
     field: int = 0,
+    primary_surface=None,
 ) -> tuple[jax.Array, jax.Array]:
     """gi_final_shading.rgen:43-101 (checkerboard launch mapping :45)."""
     from raytracer2_tpu.render.surface import evaluate_brdf
 
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
-    primary = bridge.get_gbuffer_surface(px, py, False)
+    primary = (primary_surface if primary_surface is not None
+               else bridge.get_gbuffer_surface(px, py, False))
 
     valid = gi_is_valid(reservoirs)
     radiance = reservoirs.radiance * reservoirs.weight_sum[..., None]
