@@ -579,6 +579,97 @@ def _prepare_bundles_hier(clusters, origins, directions, t_min, t_max,
             n, b, kp, t_max_a, overflowed)
 
 
+def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
+                        scene_min, scene_max, bundle_size, presorted,
+                        m_super):
+    """Supercluster-WALK cull: the dense per-ray slab pass runs only
+    against SC = ceil(C/m_super) supercluster AABBs, and the per-bundle
+    candidate list is the exact SC-union at FULL length (argsort, no
+    top_k) with each overlapped SC expanded to its m_super clusters.
+    The kernel walks the expanded list unchanged, nearest-SC-first, so:
+
+    - no truncation path exists anywhere -> no false misses by
+      construction (the flaw that parked cull="hier"); and
+    - the O(rays x C) dense cull — ~99% of the traversal bill at 260k
+      tris — shrinks by m_super x.
+
+    The price is walk-side: every cluster of an overlapped SC is fetched
+    and intersected, not just the exactly-overlapped ones (~m/2 extra
+    VPU+DMA work per SC). That work is in-VMEM lane math that the walk's
+    ~1 us/step fixed cost dwarfs; keeping m_super == kernel `group`
+    makes each walk step exactly one supercluster.
+
+    This replaces the RT-core two-level BLAS/TLAS descent of the
+    reference (src/context.rs:824-911) with the TPU-shaped equivalent:
+    one dense vectorized level + one DMA-pipelined walk level."""
+    n_orig = origins.shape[0]
+    p = bundle_size
+    c = clusters.num_clusters
+    m = m_super
+    sc_min, sc_max = _supercluster_boxes(clusters, m)
+    n_sc = sc_min.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+    if presorted:
+        perm = None
+        o, d, tn, tx = origins, directions, t_min, t_max_a
+    else:
+        # cluster-granularity grouping key (nearest SC, then nearest
+        # cluster within it): SC-granularity sorting makes bundles span
+        # whole superclusters and their unions balloon (_hier_sort_key)
+        key = _hier_sort_key(origins, directions, t_min, t_max_a, clusters,
+                             sc_min, sc_max, m, scene_min, scene_max)
+        perm = jnp.argsort(key)
+        o, d, tn, tx = _apply_permutation(perm, [origins, directions],
+                                          [t_min, t_max_a])
+
+    # chunk whole bundles: the dense [cb*p, SC] pass and the expanded
+    # [cb, SC*m] candidate block both stay inside the chunk budget
+    cb = max(1, CULL_CHUNK_BYTES // (4 * max(n_sc, 1) * p))
+    n_bundles = (n_orig + p - 1) // p
+    cb = min(cb, n_bundles)
+    o, d, tn, tx = _pad_rays(o, d, tn, tx, cb * p)
+    n = o.shape[0]
+    b = n // p
+
+    member = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+
+    def one(args):
+        oo, dd, tnn, txx = args  # [cb*p, ...]
+        e_sc = _entry_exact(oo, dd, tnn, txx, sc_min, sc_max)
+        ue = jnp.min(e_sc.reshape(cb, p, n_sc), axis=1)  # [cb, SC] union
+        order = jnp.argsort(ue, axis=-1).astype(jnp.int32)  # full length
+        sc_t = jnp.take_along_axis(ue, order, axis=-1)
+        n_ov = jnp.sum(jnp.isfinite(ue), axis=-1).astype(jnp.int32)
+        # expand each SC to its m clusters (clamp pads to a REAL cluster:
+        # duplicate tests of real triangles are harmless, stale geometry
+        # is not)
+        cl = jnp.minimum(order[:, :, None] * m + member, c - 1)
+        cand_idx = cl.reshape(cb, n_sc * m)
+        cand_t = jnp.repeat(sc_t, m, axis=-1)
+        return cand_t, cand_idx, n_ov
+
+    nb = b // cb
+    if nb == 1:
+        cand_t, cand_idx, n_ov = one((o, d, tn, tx))
+    else:
+        cand_t, cand_idx, n_ov = jax.lax.map(
+            one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
+                  tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
+        cand_t = cand_t.reshape(b, n_sc * m)
+        cand_idx = cand_idx.reshape(b, n_sc * m)
+        n_ov = n_ov.reshape(b)
+
+    cand_count = n_ov * m
+
+    k = n_sc * m
+    kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+    cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
+    return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
+            n, b, kp, t_max_a, jnp.asarray(False))
+
+
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
           bundle_size, presorted, cull, k_cand, m_super, k_sc):
     """Returns (..., overflowed): overflowed is a device bool scalar, True
@@ -593,6 +684,10 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         # bundle union at SC granularity overflows any fixed k_sc), so
         # correctness keeps the flat exact cull the default at every size
         cull = "exact"
+    if cull == "sc":
+        return _prepare_bundles_sc(
+            clusters, origins, directions, t_min, t_max, scene_min,
+            scene_max, bundle_size, presorted, m_super)
     if cull == "hier":
         return _prepare_bundles_hier(
             clusters, origins, directions, t_min, t_max, scene_min,

@@ -357,6 +357,48 @@ class TestPallasTracer:
         np.testing.assert_array_equal(np.asarray(occ),
                                       ~np.asarray(ref.missed))
 
+    def test_sc_cull_parity(self, sphere_scene):
+        """Supercluster-WALK culling (cull="sc") is exact by construction:
+        the per-bundle SC candidate list is full-length (no top_k), so
+        hits must match the brute-force oracle exactly — misses, t, AND
+        triangle ids — for incoherent rays on a real multi-SC hierarchy,
+        for every (m_super, group) divisibility combination."""
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import (
+            closest_hit_bundle_pallas, occluded_bundle_pallas)
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=4)
+        assert clusters.num_clusters >= 16
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=34, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        for m_super, group in ((4, 4), (8, 4), (4, 8)):
+            got = closest_hit_bundle_pallas(
+                clusters, sphere_scene.tri_geometry,
+                sphere_scene.tri_primitive,
+                origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+                interpret=True, cull="sc", m_super=m_super, group=group,
+                bundle_size=64, mb=2)
+            np.testing.assert_array_equal(np.asarray(got.missed),
+                                          np.asarray(ref.missed))
+            m = ~np.asarray(ref.missed)
+            np.testing.assert_allclose(np.asarray(got.t)[m],
+                                       np.asarray(ref.t)[m], rtol=1e-3)
+            np.testing.assert_array_equal(
+                np.asarray(got.triangle_index)[m],
+                np.asarray(ref.triangle_index)[m])
+            occ = occluded_bundle_pallas(
+                clusters, origins, dirs, 1e-3, jnp.full((512,), 1e5),
+                smin, smax, interpret=True, cull="sc", m_super=m_super,
+                group=group, bundle_size=64, mb=2)
+            np.testing.assert_array_equal(np.asarray(occ),
+                                          ~np.asarray(ref.missed))
+
 
 class TestOverflowSurfacing:
     """The exact cull's per-bundle candidate truncation must be REPORTED,
