@@ -75,18 +75,23 @@ def gbuffer_pass(
     hit_z = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
                      rays_z.t_max, presorted=True)
     inv = jnp.asarray(zinv)
-    fpack = jnp.stack([hit_z.t, hit_z.u, hit_z.v], axis=1)[inv]
-    ipack = jnp.stack(
-        [hit_z.geometry_index.astype(jnp.int32),
-         hit_z.primitive_id.astype(jnp.int32),
-         hit_z.triangle_index], axis=1)[inv]
+    # ONE packed [N, 6] i32 un-Z gather (floats ride as bitcast i32 —
+    # exact, and the int path never flushes denormals): separate [N, 3]
+    # gathers measured ~3x the cost of one packed row gather
+    pack = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(
+            jnp.stack([hit_z.t, hit_z.u, hit_z.v], axis=1), jnp.int32),
+         jnp.stack([hit_z.geometry_index.astype(jnp.int32),
+                    hit_z.primitive_id.astype(jnp.int32),
+                    hit_z.triangle_index], axis=1)], axis=1)[inv]
+    fpack = jax.lax.bitcast_convert_type(pack[:, :3], jnp.float32)
     from raytracer2_tpu.ops.intersect import HitRecord
 
     hit = HitRecord(
         t=fpack[:, 0], u=fpack[:, 1], v=fpack[:, 2],
-        geometry_index=ipack[:, 0].astype(jnp.uint32),
-        primitive_id=ipack[:, 1].astype(jnp.uint32),
-        triangle_index=ipack[:, 2])
+        geometry_index=pack[:, 3].astype(jnp.uint32),
+        primitive_id=pack[:, 4].astype(jnp.uint32),
+        triangle_index=pack[:, 5])
     missed = hit.missed
 
     rays = raysmod.setup_primary_ray(pxf, pyf, g_const.view)
