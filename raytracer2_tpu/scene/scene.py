@@ -77,10 +77,11 @@ class Scene(NamedTuple):
     skybox: jax.Array  # [h, w, 3]
 
     # packed fetch tables (TPU gather optimization: one wide row gather
-    # replaces many narrow ones — measured 4.1 -> 0.9 ms per 65k-ray shade
-    # for the vertex attributes alone)
-    vertex_attrs: jax.Array  # [V, 16] f32: normal 0:3 | uv 3:5 | color 5:9
-    tri_vertex_ids: jax.Array  # [T, 3] i32 global vertex ids per triangle
+    # replaces many narrow ones — row-gather cost is per ROW, not per
+    # byte: one [N, 48] gather beats 1x[N,3] ids + 3x[N,16] attrs ~4x)
+    # [T, 48] f32: all three vertices' attributes per triangle, each 16
+    # wide (normal 0:3 | uv 3:5 | color 5:9)
+    tri_attrs: jax.Array
     geom_rows: jax.Array  # [G, 32] f32: see _GEOM_ROW_* layout below
     geom_tri_base: jax.Array  # [G] i32 first world-triangle id per geometry
 
@@ -91,6 +92,10 @@ class Scene(NamedTuple):
     # True when every texture uses the default sampler (linear + repeat):
     # the hot sampling path then skips the per-lane mode selects
     default_samplers_only: bool = True
+    # False when the model carries no images: the hot shading path then
+    # skips texture sampling entirely (the dummy 1x1 white texture would
+    # still cost ~6 [N]-row gathers per materialized shade at 1080p)
+    has_textures: bool = True
 
     # host (numpy) copies of the world triangle soup, consumed by the
     # host-side cluster/LBVH builders (the reference's BLAS build also runs
@@ -258,14 +263,15 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         texture_sizes=jnp.asarray(texture_sizes),
         texture_modes=jnp.asarray(texture_modes),
         skybox=jnp.asarray(skybox, jnp.float32),
-        vertex_attrs=jnp.asarray(vertex_attrs),
-        tri_vertex_ids=jnp.asarray(tri_vertex_ids),
+        tri_attrs=jnp.asarray(
+            vertex_attrs[tri_vertex_ids.reshape(-1)].reshape(-1, 48)),
         geom_rows=jnp.asarray(geom_rows),
         geom_tri_base=jnp.asarray(tri_bases),
         num_triangles=int(tri_v0.shape[0]),
         num_geometries=g,
         num_emissive_triangles=num_lights,
         default_samplers_only=default_samplers_only,
+        has_textures=bool(model.images and model.textures),
         host_tri_v0=np.asarray(tri_v0, np.float32),
         host_tri_edge1=np.asarray(tri_e1, np.float32),
         host_tri_edge2=np.asarray(tri_e2, np.float32),
@@ -399,16 +405,16 @@ def get_geometry_from_hit(
     and applies the reference's roughness=1.0 / emission*12 quirks.
     """
     gi = jnp.maximum(geometry_index, 0)
-    # packed row gathers (Scene.vertex_attrs / geom_rows docstrings): one
-    # [32]-row per geometry + one [3]-row per triangle + three [16]-rows per
-    # vertex replace ~20 narrow gathers (measured 4.1 -> 0.9 ms / 65k rays)
+    # packed row gathers (Scene.tri_attrs / geom_rows docstrings): one
+    # [32]-row per geometry + ONE [48]-row per triangle replace ~20
+    # narrow gathers (row-gather cost is per row, not per byte)
     grow = scene.geom_rows[gi]  # [..., 32]
     tri = scene.geom_tri_base[gi] + primitive_id
     tri = jnp.clip(tri, 0, scene.num_triangles - 1)
-    iv = scene.tri_vertex_ids[tri]  # [..., 3]
-    a0 = scene.vertex_attrs[iv[..., 0]]  # [..., 16]
-    a1 = scene.vertex_attrs[iv[..., 1]]
-    a2 = scene.vertex_attrs[iv[..., 2]]
+    ta = scene.tri_attrs[tri]  # [..., 48]
+    a0 = ta[..., 0:16]
+    a1 = ta[..., 16:32]
+    a2 = ta[..., 32:48]
 
     b0 = (1.0 - attribs[..., 0] - attribs[..., 1])[..., None]
     b1 = attribs[..., 0:1]
@@ -425,7 +431,7 @@ def get_geometry_from_hit(
     color = grow[..., 9:12] * vcol
 
     tex_index = grow[..., 12].astype(jnp.int32)
-    if textures_enabled:
+    if textures_enabled and scene.has_textures:
         texel = sample_texture_bilinear(
             scene.textures, scene.texture_sizes, tex_index, uv,
             modes=(None if scene.default_samplers_only
