@@ -290,6 +290,84 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
     }
 
 
+def run_scaling(width: int = 256, height: int = 256, frames: int = 4,
+                scene_kind: str = "corridor") -> dict:
+    """1-device vs 8-virtual-device frame times on the host CPU mesh
+    (VERDICT r2 #7: the halo/GSPMD comparison needs the 1-device column).
+    Spawns a fresh interpreter: the virtual device count is fixed at
+    backend init. All 8 virtual devices share this host's cores, so the
+    honest signal is the ratio BETWEEN the sharded paths plus the
+    sharding overhead vs 1 device — not real-chip scaling (the driver's
+    multichip dryrun covers compile/execute correctness; real ICI scaling
+    needs real chips)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8"
+                        ).strip()
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--mode",
+         "_scaling_inner", "--width", str(width), "--height", str(height),
+         "--frames", str(frames), "--scene", scene_kind],
+        env=env, capture_output=True, text=True, timeout=3000)
+    for line in reversed(proc.stdout.splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"error": (proc.stderr or "no JSON from scaling run")[-300:]}
+
+
+def _run_scaling_inner(width: int, height: int, frames: int,
+                       scene_kind: str) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize exports axon
+    import numpy as np
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.parallel.mesh import (
+        make_mesh, make_sharded_render_fn, shard_frame_state)
+    from raytracer2_tpu.render.frame import init_frame_state, render_frame
+
+    n_dev = len(jax.devices())
+    scene, renderer, cam = _build(scene_kind, width, height, "bundle")
+    g = default_gconst(cam.planar_view_constants(),
+                       renderer.scene_lights.num_local_lights)
+    g = g.replace(enable_restir_di=1, enable_restir_gi=1)
+
+    def median_ms(step, state):
+        state2, img = step(g, state)
+        jax.block_until_ready(img)
+        ts = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            state2, img = step(g, state2)
+            jax.block_until_ready(img)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts) * 1e3)
+
+    single = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+    t1 = median_ms(single, init_frame_state(width, height))
+
+    mesh = make_mesh()
+    res = {"devices": n_dev, "width": width, "height": height,
+           "single_device_ms": round(t1, 2)}
+    for name, halo in (("gspmd", False), ("halo", True)):
+        step = make_sharded_render_fn(renderer, mesh, explicit_halo=halo)
+        tn = median_ms(step, shard_frame_state(
+            init_frame_state(width, height), mesh))
+        res[f"{name}_{n_dev}dev_ms"] = round(tn, 2)
+        res[f"{name}_speedup_vs_1dev"] = round(t1 / max(tn, 1e-9), 3)
+    if f"halo_{n_dev}dev_ms" in res and f"gspmd_{n_dev}dev_ms" in res:
+        res["halo_vs_gspmd"] = round(
+            res[f"gspmd_{n_dev}dev_ms"] / max(res[f"halo_{n_dev}dev_ms"],
+                                              1e-9), 3)
+    return res
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
@@ -297,7 +375,8 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="only the 256x256 round-1-comparable config")
     parser.add_argument("--mode", default="all",
-                        choices=["all", "reference", "pipeline", "rmse"])
+                        choices=["all", "reference", "pipeline", "rmse",
+                                 "scaling", "_scaling_inner"])
     parser.add_argument("--per-pass", action="store_true", default=None,
                         help="per-pass breakdown in pipeline mode "
                              "(default on for full runs)")
@@ -395,7 +474,22 @@ def main():
                 backend=args.backend, per_pass=False, checkerboard=True)
         if args.mode in ("all", "rmse"):
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
-        if args.mode == "rmse":
+        if args.mode == "_scaling_inner":
+            print(json.dumps(_run_scaling_inner(
+                args.width or 256, args.height or 256, args.frames or 4,
+                args.scene or "corridor")))
+            return
+        if args.mode in ("all", "scaling"):
+            detail["scaling"] = attempt(
+                run_scaling,
+                width=args.width or 256, height=args.height or 256,
+                frames=args.frames or 4,
+                scene_kind=args.scene or "corridor") \
+                if args.mode == "scaling" else attempt(run_scaling)
+        if args.mode == "scaling":
+            headline = ("cpu_mesh_halo_8dev_frame_ms",
+                        detail["scaling"].get("halo_8dev_ms", 0.0))
+        elif args.mode == "rmse":
             headline = ("restir_di_display_rmse_vs_oracle",
                         detail["rmse"].get("rmse", 1.0))
         elif args.mode == "pipeline":
@@ -409,7 +503,7 @@ def main():
                         detail.get("quick", {}).get("mrays_nominal", 0.0))
 
     name, value = headline
-    if "p50" in name:
+    if "p50" in name or name.endswith("_ms"):
         # latency headline: vs 16 ms frame budget (BASELINE.md)
         vs = round(16.0 / max(value, 1e-9), 4)
         unit = "ms"

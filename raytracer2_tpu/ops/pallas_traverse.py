@@ -35,6 +35,17 @@ bundle. Two generations of candidate generation exist:
   per-bundle k_sc truncation measured 3-10% false misses on a 260k-tri
   scene (incoherent bundles overlap more SCs than any fixed k_sc): keep
   off the default path until a per-bundle overflow fallback exists.
+- cull="sc" (MEASURED NEGATIVE, kept for A/B): supercluster-walk — dense
+  cull against C/m_super SC AABBs only, full-length per-bundle SC-union
+  lists (no truncation -> zero false misses, hardware-verified exact),
+  SC-contiguous Wald layout so each walk step is ONE contiguous DMA.
+  Ladder hardware numbers (260k tris, r3): pri-z 5.0 vs 12.7 Mr/s,
+  incoherent 1.1 vs 5.2 for "exact". Root cause: per-bundle union
+  INFLATION, not the dense cull — an incoherent 256-ray bundle's cluster
+  union (~240) is already ~12x any single ray's overlap set (~20), and
+  SC granularity walks ~8x more geometry on top. The dense [rays, C]
+  pass is ~20% of the trace at C=3072; the walk's Wald lane work is the
+  wall, so candidate TIGHTNESS beats cull asymptotics at this scale.
 - cull="auto" (default): "exact" (correct at every size).
 
 Kernel structure (per grid step = one bundle):
@@ -120,6 +131,21 @@ def _wald_rows(clusters: Clusters) -> jax.Array:
     # leading dims and 128-aligned lanes
     rows = jnp.pad(rows, ((0, 0), (0, 4), (0, sp - s)))
     return rows
+
+
+def _wald_sc_rows(clusters: Clusters, m: int) -> jax.Array:
+    """SC-contiguous Wald layout [SC, 16, m*S_pad]: supercluster s's m
+    clusters sit side by side in the lane dimension, so ONE DMA per walk
+    step fetches the whole supercluster (the per-candidate start/wait
+    pairs are the walk's measured fixed cost). Padding clusters are
+    all-zero transforms (d'_z == 0 -> never hit)."""
+    rows = _wald_rows(clusters)  # [C, 16, S_pad]
+    c, r, sp = rows.shape
+    n_sc = (c + m - 1) // m
+    rows = jnp.pad(rows, ((0, n_sc * m - c), (0, 0), (0, 0)))
+    return (rows.reshape(n_sc, m, r, sp)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_sc, r, m * sp))
 
 
 def _tri_meta(clusters: Clusters, tri_geometry, tri_primitive) -> jax.Array:
@@ -585,19 +611,20 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
     """Supercluster-WALK cull: the dense per-ray slab pass runs only
     against SC = ceil(C/m_super) supercluster AABBs, and the per-bundle
     candidate list is the exact SC-union at FULL length (argsort, no
-    top_k) with each overlapped SC expanded to its m_super clusters.
-    The kernel walks the expanded list unchanged, nearest-SC-first, so:
+    top_k), nearest-first. Candidates are SUPERCLUSTER ids: the kernel
+    walks them against the SC-contiguous Wald layout (_wald_sc_rows),
+    one [16, m*S_pad] block DMA per step. So:
 
     - no truncation path exists anywhere -> no false misses by
-      construction (the flaw that parked cull="hier"); and
-    - the O(rays x C) dense cull — ~99% of the traversal bill at 260k
-      tris — shrinks by m_super x.
+      construction (the flaw that parked cull="hier");
+    - the O(rays x C) dense cull shrinks by m_super x; and
+    - the walk's per-step fixed cost (the hardware-measured bottleneck:
+      `group` separate DMA start/wait pairs per step) drops to ONE
+      contiguous DMA per m_super clusters.
 
-    The price is walk-side: every cluster of an overlapped SC is fetched
-    and intersected, not just the exactly-overlapped ones (~m/2 extra
-    VPU+DMA work per SC). That work is in-VMEM lane math that the walk's
-    ~1 us/step fixed cost dwarfs; keeping m_super == kernel `group`
-    makes each walk step exactly one supercluster.
+    The price is VPU/bandwidth-side: every cluster of an overlapped SC
+    is intersected, not just the exactly-overlapped ones — lane math on
+    VMEM-resident data, which the per-step fixed cost dwarfs.
 
     This replaces the RT-core two-level BLAS/TLAS descent of the
     reference (src/context.rs:824-911) with the TPU-shaped equivalent:
@@ -633,8 +660,6 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
     n = o.shape[0]
     b = n // p
 
-    member = jnp.arange(m, dtype=jnp.int32)[None, None, :]
-
     def one(args):
         oo, dd, tnn, txx = args  # [cb*p, ...]
         e_sc = _entry_exact(oo, dd, tnn, txx, sc_min, sc_max)
@@ -642,13 +667,7 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
         order = jnp.argsort(ue, axis=-1).astype(jnp.int32)  # full length
         sc_t = jnp.take_along_axis(ue, order, axis=-1)
         n_ov = jnp.sum(jnp.isfinite(ue), axis=-1).astype(jnp.int32)
-        # expand each SC to its m clusters (clamp pads to a REAL cluster:
-        # duplicate tests of real triangles are harmless, stale geometry
-        # is not)
-        cl = jnp.minimum(order[:, :, None] * m + member, c - 1)
-        cand_idx = cl.reshape(cb, n_sc * m)
-        cand_t = jnp.repeat(sc_t, m, axis=-1)
-        return cand_t, cand_idx, n_ov
+        return sc_t, order, n_ov
 
     nb = b // cb
     if nb == 1:
@@ -657,13 +676,13 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
         cand_t, cand_idx, n_ov = jax.lax.map(
             one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
                   tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
-        cand_t = cand_t.reshape(b, n_sc * m)
-        cand_idx = cand_idx.reshape(b, n_sc * m)
+        cand_t = cand_t.reshape(b, n_sc)
+        cand_idx = cand_idx.reshape(b, n_sc)
         n_ov = n_ov.reshape(b)
 
-    cand_count = n_ov * m
+    cand_count = n_ov
 
-    k = n_sc * m
+    k = n_sc
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
     return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
@@ -810,6 +829,44 @@ def _bundle_ctx(j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
     return n_cand, k_max, cand_at, fetch, depth
 
 
+def _bundle_ctx_sc(j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                   wald_sc_hbm, idx_rows, t_rows, scratch, sems, row_sems,
+                   sc_m):
+    """SC-mode twin of _bundle_ctx: candidates are supercluster ids and
+    each walk step fetches one whole [16, sc_m*S_pad] SC block with ONE
+    contiguous DMA (the per-candidate start/wait pairs are the walk's
+    measured fixed cost)."""
+    n_cand = cand_count_ref[base + j]
+
+    @pl.when(n_cand > 0)
+    def _():
+        pltpu.make_async_copy(cand_idx_hbm.at[base + j],
+                              idx_rows.at[j], row_sems.at[j, 0]).wait()
+        pltpu.make_async_copy(cand_t_hbm.at[base + j],
+                              t_rows.at[j], row_sems.at[j, 1]).wait()
+
+    kr, kc = idx_rows.shape[1], idx_rows.shape[2]
+    k_max = kr * kc
+
+    def cand_at(ref, k):
+        return ref[j, jax.lax.div(k, kc), jax.lax.rem(k, kc)]
+
+    depth = scratch.shape[0]
+
+    def fetch(k):
+        sc = cand_at(idx_rows, k)
+        slot = jax.lax.rem(k, depth)
+        return pltpu.make_async_copy(
+            wald_sc_hbm.at[sc], scratch.at[slot], sems.at[slot, 0])
+
+    for jj in range(depth - 1):
+        @pl.when(jj < n_cand)
+        def _(jj=jj):
+            fetch(jj).start()
+
+    return n_cand, k_max, cand_at, fetch, depth
+
+
 def _bc_i32(x):
     """Bitcast f32 -> i32; Mosaic has no 1D form, bounce through [1, P]."""
     return pltpu.bitcast(x.reshape(1, -1), jnp.int32).reshape(-1)
@@ -856,11 +913,12 @@ def _walk_kernel(cand_count_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
                  out_ref,
                  idx_rows, t_rows, scratch, sems, row_sems,
-                 *, group, mb):
+                 *, group, mb, sc_m=0):
     """MB bundles per grid step, `group` clusters per walk iteration;
     packed-key winner tracking + in-kernel exact winner extraction
     (module doc). Output rows per bundle: key, ci, t, u, v (floats
-    bitcast i32)."""
+    bitcast i32). sc_m > 0: supercluster mode — one candidate (= one
+    SC of sc_m clusters, one contiguous DMA) per step."""
     p = rays_ref.shape[0] // mb
     base = pl.program_id(0) * mb
     _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
@@ -876,9 +934,15 @@ def _walk_kernel(cand_count_ref,
     big_i = jnp.int32(0x7FFFFFFF)
 
     for j in range(mb):
-        n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
-            j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-            idx_rows, t_rows, scratch, sems, row_sems, group)
+        if sc_m:
+            n_cand, k_max, cand_at, fetch, depth = _bundle_ctx_sc(
+                j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                wald_hbm, idx_rows, t_rows, scratch, sems, row_sems, sc_m)
+        else:
+            n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
+                j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                wald_hbm, idx_rows, t_rows, scratch, sems, row_sems, group)
+        cps = 1 if sc_m else group  # candidates consumed per step
 
         rt = rays_ref[j * p:(j + 1) * p, :]  # [P, 8]
         tn_col = rt[:, 6:7]
@@ -892,12 +956,12 @@ def _walk_kernel(cand_count_ref,
                 tx, jnp.zeros((p,), jnp.float32),
                 jnp.zeros((p,), jnp.float32))
 
-        def cond(state):
+        def cond(state, cand_at=cand_at, n_cand=n_cand, k_max=k_max):
             it, best_key = state[0], state[1]
             # rounding the cleared slot bits UP keeps the exit conservative
             worst = jnp.max(_bc_f32(best_key | SLOT_MASK))
-            return (it * group < n_cand) & (
-                cand_at(t_rows, jnp.minimum(it * group, k_max - 1))
+            return (it * cps < n_cand) & (
+                cand_at(t_rows, jnp.minimum(it * cps, k_max - 1))
                 <= worst)
 
         def body(state, fetch=fetch, cand_at=cand_at, n_cand=n_cand,
@@ -905,21 +969,29 @@ def _walk_kernel(cand_count_ref,
             it, best_key, best_ci, best_t, best_u, best_v = state
             slot = jax.lax.rem(it, depth)
 
-            for g in range(group):
-                @pl.when((it + depth - 1) * group + g < n_cand)
-                def _(g=g):
-                    fetch((it + depth - 1) * group + g, g).start()
+            if sc_m:
+                @pl.when(it + depth - 1 < n_cand)
+                def _():
+                    fetch(it + depth - 1).start()
+                fetch(it).wait()
+            else:
+                for g in range(group):
+                    @pl.when((it + depth - 1) * group + g < n_cand)
+                    def _(g=g):
+                        fetch((it + depth - 1) * group + g, g).start()
 
-            for g in range(group):
-                @pl.when(it * group + g < n_cand)
-                def _(g=g):
-                    fetch(it * group + g, g).wait()
+                for g in range(group):
+                    @pl.when(it * group + g < n_cand)
+                    def _(g=g):
+                        fetch(it * group + g, g).wait()
 
             t, uu, vv, valid = _intersect_block(scratch[slot], rt)
             hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                    & (t > tn_col))
-            # group members beyond n_cand hold stale data: mask them
-            hit &= slot_iota < (n_cand - it * group) * sp
+            if not sc_m:
+                # group members beyond n_cand hold stale data: mask them
+                # (SC mode needs no mask: padded clusters are zero rows)
+                hit &= slot_iota < (n_cand - it * group) * sp
             key = jnp.where(
                 hit,
                 (pltpu.bitcast(t, jnp.int32) & ~SLOT_MASK) | slot_iota,
@@ -931,11 +1003,14 @@ def _walk_kernel(cand_count_ref,
             # equality-masked min recovers its full-precision t/u/v and
             # cluster id — no gathers
             is_win = key == step_key[:, None]
-            ci_row = jnp.zeros((1, w_lanes), jnp.int32)
-            for g in range(group):
-                cig = cand_at(idx_rows,
-                              jnp.minimum(it * group + g, k_max - 1))
-                ci_row = jnp.where(grp_row == g, cig, ci_row)
+            if sc_m:
+                ci_row = cand_at(idx_rows, it) * sc_m + grp_row
+            else:
+                ci_row = jnp.zeros((1, w_lanes), jnp.int32)
+                for g in range(group):
+                    cig = cand_at(idx_rows,
+                                  jnp.minimum(it * group + g, k_max - 1))
+                    ci_row = jnp.where(grp_row == g, cig, ci_row)
             step_t = jnp.min(jnp.where(is_win, t, big_f), axis=-1)
             step_u = jnp.min(jnp.where(is_win, uu, big_f), axis=-1)
             step_v = jnp.min(jnp.where(is_win, vv, big_f), axis=-1)
@@ -955,11 +1030,17 @@ def _walk_kernel(cand_count_ref,
         # drain: an early exit (entry distance > worst hit) leaves up to
         # depth-1 group prefetches in flight; wait on them or the
         # semaphore counts leak into the next bundle and the DMA aborts
-        for off in range(depth - 1):
-            for g in range(group):
-                @pl.when((it_final + off) * group + g < n_cand)
-                def _(off=off, g=g):
-                    fetch((it_final + off) * group + g, g).wait()
+        if sc_m:
+            for off in range(depth - 1):
+                @pl.when(it_final + off < n_cand)
+                def _(off=off):
+                    fetch(it_final + off).wait()
+        else:
+            for off in range(depth - 1):
+                for g in range(group):
+                    @pl.when((it_final + off) * group + g < n_cand)
+                    def _(off=off, g=g):
+                        fetch((it_final + off) * group + g, g).wait()
 
         out_ref[j, 0, :] = best_key
         out_ref[j, 1, :] = best_ci
@@ -973,10 +1054,10 @@ def _occlude_kernel(cand_count_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
                     idx_rows, t_rows, scratch, sems, row_sems,
-                    *, group, mb):
+                    *, group, mb, sc_m=0):
     """Any-hit variant of _walk_kernel: a ray is done at its first hit;
     each bundle exits once every live ray is blocked or candidates run
-    out."""
+    out. sc_m > 0: supercluster mode (see _walk_kernel)."""
     p = rays_ref.shape[0] // mb
     base = pl.program_id(0) * mb
     _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
@@ -987,9 +1068,15 @@ def _occlude_kernel(cand_count_ref,
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (p, w_lanes), 1)
 
     for j in range(mb):
-        n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
-            j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm, wald_hbm,
-            idx_rows, t_rows, scratch, sems, row_sems, group)
+        if sc_m:
+            n_cand, k_max, cand_at, fetch, depth = _bundle_ctx_sc(
+                j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                wald_hbm, idx_rows, t_rows, scratch, sems, row_sems, sc_m)
+        else:
+            n_cand, k_max, cand_at, fetch, depth = _bundle_ctx(
+                j, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
+                wald_hbm, idx_rows, t_rows, scratch, sems, row_sems, group)
+        cps = 1 if sc_m else group
 
         rt = rays_ref[j * p:(j + 1) * p, :]
         tn = rt[:, 6]
@@ -1007,9 +1094,9 @@ def _occlude_kernel(cand_count_ref,
             # the farthest t_max among live rays bounds useful candidates;
             # once every ray is done the max is -inf and the walk stops
             worst = jnp.max(jnp.where(done != 0, -jnp.inf, tx))
-            more = it * group < n_cand
+            more = it * cps < n_cand
             near_enough = cand_at(
-                t_rows, jnp.minimum(it * group, k_max - 1)) <= worst
+                t_rows, jnp.minimum(it * cps, k_max - 1)) <= worst
             return more & near_enough
 
         def body(state, fetch=fetch, n_cand=n_cand, depth=depth, rt=rt,
@@ -1017,29 +1104,42 @@ def _occlude_kernel(cand_count_ref,
             it, done = state
             slot = jax.lax.rem(it, depth)
 
-            for g in range(group):
-                @pl.when((it + depth - 1) * group + g < n_cand)
-                def _(g=g):
-                    fetch((it + depth - 1) * group + g, g).start()
+            if sc_m:
+                @pl.when(it + depth - 1 < n_cand)
+                def _():
+                    fetch(it + depth - 1).start()
+                fetch(it).wait()
+            else:
+                for g in range(group):
+                    @pl.when((it + depth - 1) * group + g < n_cand)
+                    def _(g=g):
+                        fetch((it + depth - 1) * group + g, g).start()
 
-            for g in range(group):
-                @pl.when(it * group + g < n_cand)
-                def _(g=g):
-                    fetch(it * group + g, g).wait()
+                for g in range(group):
+                    @pl.when(it * group + g < n_cand)
+                    def _(g=g):
+                        fetch(it * group + g, g).wait()
 
             t, uu, vv, valid = _intersect_block(scratch[slot], rt)
             hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                    & (t > tn_col) & (t < tx_col))
-            hit &= slot_iota < (n_cand - it * group) * sp
+            if not sc_m:
+                hit &= slot_iota < (n_cand - it * group) * sp
             return it + 1, done | jnp.any(hit, axis=-1).astype(jnp.int32)
 
         it_final, done = jax.lax.while_loop(cond, body, init)
 
-        for off in range(depth - 1):
-            for g in range(group):
-                @pl.when((it_final + off) * group + g < n_cand)
-                def _(off=off, g=g):
-                    fetch((it_final + off) * group + g, g).wait()
+        if sc_m:
+            for off in range(depth - 1):
+                @pl.when(it_final + off < n_cand)
+                def _(off=off):
+                    fetch(it_final + off).wait()
+        else:
+            for off in range(depth - 1):
+                for g in range(group):
+                    @pl.when((it_final + off) * group + g < n_cand)
+                    def _(off=off, g=g):
+                        fetch((it_final + off) * group + g, g).wait()
 
         hit_out[j, 0, :] = done * (tx > tn).astype(jnp.int32)
 
@@ -1075,20 +1175,26 @@ def occluded_bundle_pallas(
     the cull-order sort + permutation gathers. with_overflow=True also
     returns the candidate-truncation flag (module doc of _prep)."""
     sp = _s_pad(clusters)
-    group = max(1, min(group, (1 << SLOT_BITS) // sp))
+    if cull == "sc":
+        m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
+        group, sc_m = m_super, m_super
+        wald = _wald_sc_rows(clusters, m_super)
+    else:
+        group = max(1, min(group, (1 << SLOT_BITS) // sp))
+        sc_m = 0
+        wald = _wald_rows(clusters)
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
-    wald = _wald_rows(clusters)
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     hit = pl.pallas_call(
-        partial(_occlude_kernel, group=group, mb=mb),
+        partial(_occlude_kernel, group=group, mb=mb, sc_m=sc_m),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
                              out_rows=1, mb=mb),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
@@ -1134,7 +1240,14 @@ def closest_hit_bundle_pallas(
     src/shaders/common.glsl:23-28). with_overflow=True returns
     (HitRecord, overflowed) — see _prep."""
     sp = _s_pad(clusters)
-    group = max(1, min(group, (1 << SLOT_BITS) // sp))
+    if cull == "sc":
+        m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
+        group, sc_m = m_super, m_super
+        wald = _wald_sc_rows(clusters, m_super)
+    else:
+        group = max(1, min(group, (1 << SLOT_BITS) // sp))
+        sc_m = 0
+        wald = _wald_rows(clusters)
     assert group * sp <= (1 << SLOT_BITS), \
         "packed winner keys carry the slot in the low SLOT_BITS bits"
     n_orig = origins.shape[0]
@@ -1143,13 +1256,12 @@ def closest_hit_bundle_pallas(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc)
     p = bundle_size
-    wald = _wald_rows(clusters)
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     out = pl.pallas_call(
-        partial(_walk_kernel, group=group, mb=mb),
+        partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
                              out_rows=8, mb=mb),
         out_shape=jax.ShapeDtypeStruct((b_pad, 8, p), jnp.int32),
