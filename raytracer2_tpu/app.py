@@ -11,6 +11,7 @@ the same GConst surface.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import sys
@@ -86,6 +87,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="checkerboard rendering: lighting passes trace "
                         "half the pixel grid per frame, alternating "
                         "fields (RtxdiHelpers.hlsli:16-61)")
+    p.add_argument("--interactive", action="store_true",
+                   help="live terminal session (main.rs:484-733 analogue): "
+                        "frames render continuously as truecolor half-block "
+                        "cells; WASD+QE fly, IJKL look, number keys toggle "
+                        "the GConstEditor fields live")
     p.add_argument("--animate", default=None,
                    help="JSON file of per-frame GConst overrides: "
                         '{"<frame>": {"field": value, ...}, ...} — the '
@@ -221,6 +227,12 @@ def main(argv=None) -> int:
         logger.info("resumed from %s at frame %d", args.resume, start_frame)
 
     step = jax.jit(lambda g, s: render_frame(renderer, g, s))
+
+    if args.interactive:
+        from raytracer2_tpu.viewer import run_interactive
+
+        run_interactive(step, camera, g_const, state, to_srgb_u8)
+        return 0
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -94,45 +94,45 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         scene_min = jnp.min(clusters.aabb_min, axis=0)
         scene_max = jnp.max(clusters.aabb_max, axis=0)
 
-        # round-3 MB-kernel hardware sweep (260k-tri ladder, cs=128,
-        # mb=8): k_cand 256 is the largest-measured no-overflow budget
-        # (128 truncates incoherent rays — silent misses), and the best
-        # group follows ray coherence: presorted screen-tile bundles
-        # want group=4 (pri 12.8 Mr/s), scattered bounce rays group=8
-        # (inc 5.4 vs 4.8). Small scenes (quick corridor, C=145) keep
-        # the round-2 tuning.
+        # round-3 bundle sweep (260k-tri ladder, cs=128): coherence sets
+        # the best shape. Presorted screen-tile bundles want wide bundles
+        # + narrow groups (b=256/mb=8/g=4: 12.7 Mr/s); incoherent rays
+        # want b=128/mb=16/g=8 (5.8 vs 5.2 Mr/s) — and CRUCIALLY b=256's
+        # unions overflow k_cand=256 on random rays (measured ovf=True,
+        # silent misses) while b=128 fits. Small scenes (quick corridor,
+        # C=145) keep the round-2 tuning.
         big = clusters.num_clusters >= 512
-        tune = dict(bundle_size=256 if big else 128,
-                    k_cand=256)
-        group_by_sort = {True: 4, False: 8 if big else 4}
+        by_sort = {  # presorted -> kernel shape
+            True: dict(bundle_size=256 if big else 128, mb=8, group=4,
+                       k_cand=256),
+            False: dict(bundle_size=128, mb=16 if big else 8,
+                        group=8 if big else 4, k_cand=256),
+        }
         # explicit knobs (app.py --cull/--k-cand/--group/...) win over the
         # scene-size heuristics
         for key, val in (("cull", cull), ("k_cand", k_cand),
-                         ("bundle_size", bundle_size)):
+                         ("bundle_size", bundle_size), ("group", group)):
             if val is not None:
-                tune[key] = val
-        if group is not None:
-            group_by_sort = {True: group, False: group}
+                by_sort[True][key] = val
+                by_sort[False][key] = val
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, group=group_by_sort[presorted],
-                **tune)
+                presorted=presorted, **by_sort[presorted])
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, group=group_by_sort[presorted],
-                **tune)
+                presorted=presorted, **by_sort[presorted])
 
         def probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, group=group_by_sort[presorted],
-                with_overflow=True, **tune)
+                presorted=presorted, with_overflow=True,
+                **by_sort[presorted])
             return flag
 
         return Tracers(closest_hit=closest, occluded=occl,
