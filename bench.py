@@ -290,7 +290,7 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
     }
 
 
-def run_scaling(width: int = 128, height: int = 128, frames: int = 3,
+def run_scaling(width: int = 64, height: int = 64, frames: int = 2,
                 scene_kind: str = "corridor") -> dict:
     """1-device vs 8-virtual-device frame times on the host CPU mesh
     (VERDICT r2 #7: the halo/GSPMD comparison needs the 1-device column).
@@ -476,14 +476,14 @@ def main():
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
         if args.mode == "_scaling_inner":
             print(json.dumps(_run_scaling_inner(
-                args.width or 128, args.height or 128, args.frames or 3,
+                args.width or 64, args.height or 64, args.frames or 2,
                 args.scene or "corridor")))
             return
         if args.mode in ("all", "scaling"):
             detail["scaling"] = attempt(
                 run_scaling,
-                width=args.width or 128, height=args.height or 128,
-                frames=args.frames or 3,
+                width=args.width or 64, height=args.height or 64,
+                frames=args.frames or 2,
                 scene_kind=args.scene or "corridor") \
                 if args.mode == "scaling" else attempt(run_scaling)
         if args.mode == "scaling":
