@@ -100,7 +100,8 @@ def gbuffer_pass(
     geom = get_geometry_from_hit(
         scene, hit.geometry_index.astype(jnp.int32),
         hit.primitive_id.astype(jnp.int32), attribs,
-        textures_enabled=bool(g_const.textures))
+        textures_enabled=bool(g_const.textures),
+        triangle_index=hit.triangle_index)
 
     world_pos = rays.origin + rays.direction * hit.t[..., None]
     # static scene: prev position == current (g_buffer.rgen:28-29)

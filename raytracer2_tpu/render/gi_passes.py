@@ -183,7 +183,8 @@ def brdf_rays_pass(
         scene, hit.geometry_index.astype(jnp.int32),
         hit.primitive_id.astype(jnp.int32),
         jnp.stack([hit.u, hit.v], axis=-1),
-        textures_enabled=bool(g_const.textures))
+        textures_enabled=bool(g_const.textures),
+        triangle_index=hit.triangle_index)
 
     # (brdf_rays.rgen:121-124)
     include_emissive = jnp.logical_or(g_const.enable_restir_di == 0,
@@ -367,7 +368,8 @@ def shade_secondary_surfaces_pass(
             scene, hit.geometry_index.astype(jnp.int32),
             hit.primitive_id.astype(jnp.int32),
             jnp.stack([hit.u, hit.v], axis=-1),
-            textures_enabled=bool(g_const.textures))
+            textures_enabled=bool(g_const.textures),
+            triangle_index=hit.triangle_index)
         emission = jnp.where(hit.missed[..., None],
                              get_environment_radiance(
                                  scene, d, g_const.environment),

@@ -72,7 +72,8 @@ def surface_from_hit(scene: Scene, ray_origin: jax.Array,
     geom = get_geometry_from_hit(
         scene, hit.geometry_index.astype(jnp.int32),
         hit.primitive_id.astype(jnp.int32), attribs,
-        textures_enabled=textures_enabled)
+        textures_enabled=textures_enabled,
+        triangle_index=hit.triangle_index)
 
     world_pos = ray_origin + ray_direction * hit.t[..., None]
     depth = jnp.where(missed, BACKGROUND_DEPTH, hit.t)

@@ -76,11 +76,12 @@ class Scene(NamedTuple):
     # environment map (equirect, linear RGB); [1,1,3] zeros if absent
     skybox: jax.Array  # [h, w, 3]
 
-    # packed fetch tables (TPU gather optimization: one wide row gather
+    # packed fetch table (TPU gather optimization: one wide row gather
     # replaces many narrow ones — row-gather cost is per ROW, not per
-    # byte: one [N, 48] gather beats 1x[N,3] ids + 3x[N,16] attrs ~4x)
-    # [T, 48] f32: all three vertices' attributes per triangle, each 16
-    # wide (normal 0:3 | uv 3:5 | color 5:9)
+    # byte). [T, 80] f32: all three vertices' attributes per triangle
+    # (3 x 16 wide: normal 0:3 | uv 3:5 | color 5:9) followed at 48:80
+    # by the owning geometry's geom_row COPY, so the whole material
+    # fetch is ONE row gather when the caller has the triangle id.
     tri_attrs: jax.Array
     geom_rows: jax.Array  # [G, 32] f32: see _GEOM_ROW_* layout below
     geom_tri_base: jax.Array  # [G] i32 first world-triangle id per geometry
@@ -263,8 +264,9 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         texture_sizes=jnp.asarray(texture_sizes),
         texture_modes=jnp.asarray(texture_modes),
         skybox=jnp.asarray(skybox, jnp.float32),
-        tri_attrs=jnp.asarray(
-            vertex_attrs[tri_vertex_ids.reshape(-1)].reshape(-1, 48)),
+        tri_attrs=jnp.asarray(np.concatenate(
+            [vertex_attrs[tri_vertex_ids.reshape(-1)].reshape(-1, 48),
+             geom_rows[np.asarray(tri_geo, np.int64)]], axis=1)),
         geom_rows=jnp.asarray(geom_rows),
         geom_tri_base=jnp.asarray(tri_bases),
         num_triangles=int(tri_v0.shape[0]),
@@ -396,6 +398,7 @@ def get_geometry_from_hit(
     textures_enabled: bool = True,
     roughness_override: float | None = ROUGHNESS_OVERRIDE,
     emission_scale: float = EMISSION_SCALE,
+    triangle_index: jax.Array | None = None,
 ) -> SurfaceGeometry:
     """Vectorized port of GetGeometryFromHit (Hit.glsl:2-42).
 
@@ -403,15 +406,20 @@ def get_geometry_from_hit(
     normal/uv/color, transforms the normal by the node matrix (Hit.glsl:27 —
     no inverse transpose, quirk preserved), samples the base-color texture,
     and applies the reference's roughness=1.0 / emission*12 quirks.
+
+    triangle_index: the world-triangle id when the caller already has it
+    (HitRecord carries it) — the whole material fetch then collapses to
+    ONE [T, 80]-row gather (Scene.tri_attrs docstring). Values on lanes
+    with invalid ids are junk either way; callers mask by `missed`.
     """
-    gi = jnp.maximum(geometry_index, 0)
-    # packed row gathers (Scene.tri_attrs / geom_rows docstrings): one
-    # [32]-row per geometry + ONE [48]-row per triangle replace ~20
-    # narrow gathers (row-gather cost is per row, not per byte)
-    grow = scene.geom_rows[gi]  # [..., 32]
-    tri = scene.geom_tri_base[gi] + primitive_id
-    tri = jnp.clip(tri, 0, scene.num_triangles - 1)
-    ta = scene.tri_attrs[tri]  # [..., 48]
+    if triangle_index is not None:
+        tri = jnp.clip(triangle_index, 0, scene.num_triangles - 1)
+    else:
+        gi = jnp.maximum(geometry_index, 0)
+        tri = scene.geom_tri_base[gi] + primitive_id
+        tri = jnp.clip(tri, 0, scene.num_triangles - 1)
+    ta = scene.tri_attrs[tri]  # [..., 80] — the ONLY row gather
+    grow = ta[..., 48:80]
     a0 = ta[..., 0:16]
     a1 = ta[..., 16:32]
     a2 = ta[..., 32:48]
