@@ -149,9 +149,14 @@ def _wald_sc_rows(clusters: Clusters, m: int) -> jax.Array:
 
 
 def _tri_meta(clusters: Clusters, tri_geometry, tri_primitive) -> jax.Array:
-    """[C*S_pad, 4] i32 rows (tri, geometry, primitive, 0) addressed by
-    cluster * S_pad + slot: the single row gather that turns the kernel's
-    (cluster, slot) winner into the rayhit.rchit payload ids."""
+    """[C*S_pad, 16] i32 rows addressed by cluster * S_pad + slot:
+    [0:12] the triangle's 12 Wald coefficients (bitcast f32, row order
+    k*3+m as in _wald_rows), [12:15] (tri, geometry, primitive), [15]
+    pad. ONE row gather turns the kernel's winner code into both the
+    rayhit.rchit payload ids AND the data to re-evaluate the winner's
+    exact (t, u, v) on the host — so the kernel's inner loop carries no
+    per-step t/u/v extraction reduces (r3.2: the five masked min-reduces
+    per step were ~a third of the walk's lane work)."""
     c, s = clusters.tri_index.shape
     sp = _s_pad(clusters)
     tri = clusters.tri_index
@@ -163,7 +168,10 @@ def _tri_meta(clusters: Clusters, tri_geometry, tri_primitive) -> jax.Array:
         pad = jnp.broadcast_to(
             jnp.asarray([-1, -1, 0, 0], jnp.int32), (c, sp - s, 4))
         meta = jnp.concatenate([meta, pad], axis=1)
-    return meta.reshape(c * sp, 4)
+    wald = _wald_rows(clusters)  # [C, 16, S_pad]; rows 0:12 = coeffs
+    coeff = jax.lax.bitcast_convert_type(
+        wald[:, :12, :].transpose(0, 2, 1), jnp.int32)  # [C, S_pad, 12]
+    return jnp.concatenate([coeff, meta], axis=-1).reshape(c * sp, 16)
 
 
 def _apply_permutation(perm, arrays_3, arrays_1):
@@ -879,7 +887,12 @@ def _bc_f32(x):
 def _intersect_block(w, rt):
     """Wald intersection of the whole bundle vs one block of clusters.
     rt: [P, 8] per-ray columns (ox oy oz dx dy dz tn tx). Returns
-    (t, uu, vv, valid) as [P, W] arrays (W = group * S_pad)."""
+    (t, uu, vv, valid) as [P, W] arrays (W = group * S_pad).
+
+    The divide runs unguarded: dz == 0 yields t = ±inf/nan, which the
+    hit predicates reject on their own; `valid` keeps the same
+    |dz| > 1e-12 rejection the brute-force oracle applies so parity
+    stays exact at near-degenerate triangles."""
     ox = rt[:, 0:1]
     oy = rt[:, 1:2]
     oz = rt[:, 2:3]
@@ -901,8 +914,7 @@ def _intersect_block(w, rt):
     dp_v = affine(1, dx, dy, dz3, False)
     dz = affine(2, dx, dy, dz3, False)
     valid = jnp.abs(dz) > 1e-12
-    safe = jnp.where(valid, dz, 1.0)
-    t = -op_z / safe
+    t = -op_z / dz
     uu = op_u + t * dp_u
     vv = op_v + t * dp_v
     return t, uu, vv, valid
@@ -915,10 +927,15 @@ def _walk_kernel(cand_count_ref,
                  idx_rows, t_rows, scratch, sems, row_sems,
                  *, group, mb, sc_m=0):
     """MB bundles per grid step, `group` clusters per walk iteration;
-    packed-key winner tracking + in-kernel exact winner extraction
-    (module doc). Output rows per bundle: key, ci, t, u, v (floats
-    bitcast i32). sc_m > 0: supercluster mode — one candidate (= one
-    SC of sc_m clusters, one contiguous DMA) per step."""
+    packed-key winner tracking (module doc). The per-ray winner is
+    carried as a CODE (cluster * S_pad + triangle slot); the host turns
+    it into payload ids and exact t/u/v with the single _tri_meta row
+    gather + a 12-FMA re-evaluation, so the loop body needs only two
+    lane reductions per step (step_key, step_code) — the former
+    four-way t/u/v/ci masked-min extraction was ~a third of the step's
+    lane work. Output row per bundle: code (i32, 0x7FFFFFFF = miss).
+    sc_m > 0: supercluster mode — one candidate (= one SC of sc_m
+    clusters, one contiguous DMA) per step."""
     p = rays_ref.shape[0] // mb
     base = pl.program_id(0) * mb
     _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
@@ -930,7 +947,7 @@ def _walk_kernel(cand_count_ref,
     # per-lane group-member index as a [1, W] row (used to stamp each lane
     # with its candidate's cluster id — scalar selects on one row, not P)
     grp_row = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1) // sp
-    big_f = jnp.float32(3e38)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1) % sp
     big_i = jnp.int32(0x7FFFFFFF)
 
     for j in range(mb):
@@ -952,9 +969,7 @@ def _walk_kernel(cand_count_ref,
         # dead lanes (t_max < 0) get a negative key no hit can beat. Low
         # bits are SET (round up) so a hit at exactly t_max still wins.
         init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
-        init = (jnp.int32(0), init_key, jnp.full((p,), -1, jnp.int32),
-                tx, jnp.zeros((p,), jnp.float32),
-                jnp.zeros((p,), jnp.float32))
+        init = (jnp.int32(0), init_key, jnp.full((p,), big_i, jnp.int32))
 
         def cond(state, cand_at=cand_at, n_cand=n_cand, k_max=k_max):
             it, best_key = state[0], state[1]
@@ -966,7 +981,7 @@ def _walk_kernel(cand_count_ref,
 
         def body(state, fetch=fetch, cand_at=cand_at, n_cand=n_cand,
                  k_max=k_max, depth=depth, rt=rt, tn_col=tn_col):
-            it, best_key, best_ci, best_t, best_u, best_v = state
+            it, best_key, best_code = state
             slot = jax.lax.rem(it, depth)
 
             if sc_m:
@@ -998,10 +1013,9 @@ def _walk_kernel(cand_count_ref,
                 jnp.int32(MISS_KEY))
             step_key = jnp.min(key, axis=-1)
 
-            # exact winner extraction: the winning lane is unique (the
-            # slot in the low key bits is the lane index), so an
-            # equality-masked min recovers its full-precision t/u/v and
-            # cluster id — no gathers
+            # winner code extraction: the winning lane is unique (the
+            # slot in the low key bits is the lane index), so one
+            # equality-masked min recovers cluster * S_pad + tri slot
             is_win = key == step_key[:, None]
             if sc_m:
                 ci_row = cand_at(idx_rows, it) * sc_m + grp_row
@@ -1011,21 +1025,15 @@ def _walk_kernel(cand_count_ref,
                     cig = cand_at(idx_rows,
                                   jnp.minimum(it * group + g, k_max - 1))
                     ci_row = jnp.where(grp_row == g, cig, ci_row)
-            step_t = jnp.min(jnp.where(is_win, t, big_f), axis=-1)
-            step_u = jnp.min(jnp.where(is_win, uu, big_f), axis=-1)
-            step_v = jnp.min(jnp.where(is_win, vv, big_f), axis=-1)
-            step_ci = jnp.min(jnp.where(is_win, ci_row, big_i), axis=-1)
+            code_row = ci_row * sp + lane_row  # [1, W]
+            step_code = jnp.min(jnp.where(is_win, code_row, big_i), axis=-1)
 
             better = step_key < best_key
             best_key = jnp.minimum(step_key, best_key)
-            best_ci = jnp.where(better, step_ci, best_ci)
-            best_t = jnp.where(better, step_t, best_t)
-            best_u = jnp.where(better, step_u, best_u)
-            best_v = jnp.where(better, step_v, best_v)
-            return it + 1, best_key, best_ci, best_t, best_u, best_v
+            best_code = jnp.where(better, step_code, best_code)
+            return it + 1, best_key, best_code
 
-        (it_final, best_key, best_ci, best_t, best_u, best_v) = \
-            jax.lax.while_loop(cond, body, init)
+        it_final, best_key, best_code = jax.lax.while_loop(cond, body, init)
 
         # drain: an early exit (entry distance > worst hit) leaves up to
         # depth-1 group prefetches in flight; wait on them or the
@@ -1042,11 +1050,7 @@ def _walk_kernel(cand_count_ref,
                     def _(off=off, g=g):
                         fetch((it_final + off) * group + g, g).wait()
 
-        out_ref[j, 0, :] = best_key
-        out_ref[j, 1, :] = best_ci
-        out_ref[j, 2, :] = _bc_i32(best_t)
-        out_ref[j, 3, :] = _bc_i32(best_u)
-        out_ref[j, 4, :] = _bc_i32(best_v)
+        out_ref[j, 0, :] = best_code
 
 
 def _occlude_kernel(cand_count_ref,
@@ -1263,28 +1267,43 @@ def closest_hit_bundle_pallas(
     out = pl.pallas_call(
         partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
-                             out_rows=8, mb=mb),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 8, p), jnp.int32),
+                             out_rows=1, mb=mb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
     m_pad = b_pad * p
-    key_f = out[:, 0, :].reshape(m_pad)[:n_orig]
-    ci_f = out[:, 1, :].reshape(m_pad)[:n_orig]
-    fbits = jax.lax.bitcast_convert_type(out[:, 2:5, :], jnp.float32)
-    t_r = fbits[:, 0, :].reshape(m_pad)[:n_orig]
-    u_r = fbits[:, 1, :].reshape(m_pad)[:n_orig]
-    v_r = fbits[:, 2, :].reshape(m_pad)[:n_orig]
+    code = out[:, 0, :].reshape(m_pad)[:n_orig]
 
-    # (cluster, key slot) -> (triangle, geometry, primitive): one packed
-    # row gather from the precomputed per-slot table
-    tri_slot = (key_f & SLOT_MASK) % sp
-    missed = ci_f < 0
-    safe_ci = jnp.maximum(ci_f, 0)
+    # winner code -> (triangle, geometry, primitive) + Wald coefficients:
+    # one packed row gather, then a 12-FMA re-evaluation reproduces the
+    # winner's exact (t, u, v) — cheaper than carrying them through the
+    # kernel loop (see _walk_kernel doc)
+    missed = code == jnp.int32(0x7FFFFFFF)
+    safe_code = jnp.where(missed, 0, code)
     meta = _tri_meta(clusters, tri_geometry, tri_primitive)[
-        safe_ci * sp + tri_slot]  # [n, 4] i32
-    tri_r = jnp.where(missed, -1, meta[:, 0])
-    geom_r = jnp.where(missed, -1, meta[:, 1])
-    prim_r = jnp.where(missed, 0, meta[:, 2])
+        safe_code]  # [n, 16] i32
+    tri_r = jnp.where(missed, -1, meta[:, 12])
+    geom_r = jnp.where(missed, -1, meta[:, 13])
+    prim_r = jnp.where(missed, 0, meta[:, 14])
+
+    wf = jax.lax.bitcast_convert_type(meta[:, 0:12], jnp.float32)
+    on = o[:n_orig]
+    dn = d[:n_orig]
+    op_u = (wf[:, 0] * on[:, 0] + wf[:, 3] * on[:, 1]
+            + wf[:, 6] * on[:, 2] + wf[:, 9])
+    op_v = (wf[:, 1] * on[:, 0] + wf[:, 4] * on[:, 1]
+            + wf[:, 7] * on[:, 2] + wf[:, 10])
+    op_z = (wf[:, 2] * on[:, 0] + wf[:, 5] * on[:, 1]
+            + wf[:, 8] * on[:, 2] + wf[:, 11])
+    dp_u = (wf[:, 0] * dn[:, 0] + wf[:, 3] * dn[:, 1]
+            + wf[:, 6] * dn[:, 2])
+    dp_v = (wf[:, 1] * dn[:, 0] + wf[:, 4] * dn[:, 1]
+            + wf[:, 7] * dn[:, 2])
+    dzv = (wf[:, 2] * dn[:, 0] + wf[:, 5] * dn[:, 1]
+           + wf[:, 8] * dn[:, 2])
+    t_r = -op_z / jnp.where(dzv == 0.0, 1.0, dzv)
+    u_r = op_u + t_r * dp_u
+    v_r = op_v + t_r * dp_v
 
     if perm is not None:
         inv_perm = jnp.argsort(perm)
