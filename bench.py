@@ -116,7 +116,8 @@ def run_reference(width: int, height: int, spp: int, bounces: int,
 
 def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
                  backend: str = "auto", per_pass: bool = False,
-                 checkerboard: bool = False) -> dict:
+                 checkerboard: bool = False,
+                 enable_di: bool = False) -> dict:
     """Flagship ReSTIR DI+GI frame graph: p50/p95 frame time + rays/s.
     per_pass=True additionally times cumulative pass prefixes (each a
     separately jitted frame stopped after pass k) and reports diffs."""
@@ -135,6 +136,10 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights)
+    if enable_di:
+        # the flagship DI+GI config (the app CLI default; GConst itself
+        # keeps the reference's DI-off startup value for parity)
+        g_const = g_const.replace(enable_restir_di=1)
     state = init_frame_state(width, height, checkerboard=checkerboard)
 
     def at_frame(i):
@@ -472,6 +477,13 @@ def main():
                 frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
                 backend=args.backend, per_pass=False, checkerboard=True)
+            # flagship DI+GI frame (what `app.py` renders by default)
+            detail["pipeline_di"] = attempt(
+                run_pipeline,
+                width=args.width or 1920, height=args.height or 1080,
+                frames=args.frames or 8,
+                scene_kind=args.scene or "ladder",
+                backend=args.backend, per_pass=False, enable_di=True)
         if args.mode in ("all", "rmse"):
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
         if args.mode == "_scaling_inner":

@@ -64,12 +64,22 @@ def gbuffer_pass(
     argsort + two permutation gathers). The HitRecord is un-Z-ordered with
     two packed row gathers before material fetch, so everything downstream
     stays row-major."""
+    import numpy as np
+
     zidx, zinv = raysmod.zorder_permutation(width, height)
     px, py = raysmod.pixel_grid(width, height)
     pxf = px.reshape(-1)
     pyf = py.reshape(-1) + row0  # global rows under row-sharded tiles
-    px_z = pxf[jnp.asarray(zidx)]
-    py_z = pyf[jnp.asarray(zidx)]
+    # Z-ordered pixel coords are compile-time constants: permute with
+    # numpy so no runtime [N] gathers exist (row0 is traced only under
+    # sharding; keep the device gather for that rare case)
+    if isinstance(row0, int):
+        lin = np.arange(width * height)
+        px_z = jnp.asarray((lin % width).astype(np.int32)[zidx])
+        py_z = jnp.asarray((lin // width + row0).astype(np.int32)[zidx])
+    else:
+        px_z = pxf[jnp.asarray(zidx)]
+        py_z = pyf[jnp.asarray(zidx)]
 
     rays_z = raysmod.setup_primary_ray(px_z, py_z, g_const.view)
     hit_z = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
