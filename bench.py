@@ -156,14 +156,22 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
         state1, img = fn(at_frame(1), state1)
         jax.block_until_ready(img)
 
-    times = []
-    s = state
-    for i in range(frames):
-        t0 = time.perf_counter()
-        s, img = fn(at_frame(i + 1), s)
-        jax.block_until_ready(img)
-        times.append(time.perf_counter() - t0)
-    times_ms = np.asarray(times) * 1e3
+    def time_frames():
+        times = []
+        s = state
+        for i in range(frames):
+            t0 = time.perf_counter()
+            s, img = fn(at_frame(i + 1), s)
+            jax.block_until_ready(img)
+            times.append(time.perf_counter() - t0)
+        return np.asarray(times) * 1e3
+
+    times_ms = time_frames()
+    if float(np.percentile(times_ms, 50)) < 5.0 and width * height >= 2**18:
+        # a sub-5-ms "frame" at >=512x512 means block_until_ready returned
+        # without the device actually running (observed once through the
+        # TPU relay: an 0.6 ms 1080p ReSTIR frame) — re-time once
+        times_ms = time_frames()
     p50 = float(np.percentile(times_ms, 50))
     rays = count_frame_rays(at_frame(1), width, height)
 
