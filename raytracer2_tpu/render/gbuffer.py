@@ -61,9 +61,12 @@ def gbuffer_pass(
     Rays are generated along the static pixel Z-curve and traced with
     presorted=True: every 256-ray bundle is a compact screen tile, and the
     tracer skips its runtime cull-sort entirely (dense per-ray key pass +
-    argsort + two permutation gathers). The HitRecord is un-Z-ordered with
-    two packed row gathers before material fetch, so everything downstream
-    stays row-major."""
+    argsort + two permutation gathers). ALL shading work (material fetch,
+    motion vectors, packing, miss masking) happens in Z order — only the
+    finished, packed G-buffer channels are un-Z-ordered, with ONE [N, 10]
+    i32 row gather (floats ride as bitcast i32: exact, and the int path
+    never flushes denormals). Row-gather cost on v5e is per row, not per
+    byte, so one wide gather beats two narrower ones ~2x."""
     import numpy as np
 
     zidx, zinv = raysmod.zorder_permutation(width, height)
@@ -82,29 +85,9 @@ def gbuffer_pass(
         py_z = pyf[jnp.asarray(zidx)]
 
     rays_z = raysmod.setup_primary_ray(px_z, py_z, g_const.view)
-    hit_z = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
-                     rays_z.t_max, presorted=True)
-    inv = jnp.asarray(zinv)
-    # ONE packed [N, 6] i32 un-Z gather (floats ride as bitcast i32 —
-    # exact, and the int path never flushes denormals): separate [N, 3]
-    # gathers measured ~3x the cost of one packed row gather
-    pack = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(
-            jnp.stack([hit_z.t, hit_z.u, hit_z.v], axis=1), jnp.int32),
-         jnp.stack([hit_z.geometry_index.astype(jnp.int32),
-                    hit_z.primitive_id.astype(jnp.int32),
-                    hit_z.triangle_index], axis=1)], axis=1)[inv]
-    fpack = jax.lax.bitcast_convert_type(pack[:, :3], jnp.float32)
-    from raytracer2_tpu.ops.intersect import HitRecord
-
-    hit = HitRecord(
-        t=fpack[:, 0], u=fpack[:, 1], v=fpack[:, 2],
-        geometry_index=pack[:, 3].astype(jnp.uint32),
-        primitive_id=pack[:, 4].astype(jnp.uint32),
-        triangle_index=pack[:, 5])
+    hit = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
+                   rays_z.t_max, presorted=True)
     missed = hit.missed
-
-    rays = raysmod.setup_primary_ray(pxf, pyf, g_const.view)
 
     attribs = jnp.stack([hit.u, hit.v], axis=-1)
     geom = get_geometry_from_hit(
@@ -113,7 +96,7 @@ def gbuffer_pass(
         textures_enabled=bool(g_const.textures),
         triangle_index=hit.triangle_index)
 
-    world_pos = rays.origin + rays.direction * hit.t[..., None]
+    world_pos = rays_z.origin + rays_z.direction * hit.t[..., None]
     # static scene: prev position == current (g_buffer.rgen:28-29)
     motion = raysmod.get_motion_vector(
         g_const.view, g_const.prev_view, world_pos, world_pos)
@@ -123,21 +106,34 @@ def gbuffer_pass(
     spec_rough = pk.pack_rgba8_gamma_ufloat(
         jnp.concatenate([geom.specular_f0, geom.roughness[..., None]], axis=-1))
 
-    def img(x, fill):
-        return jnp.where(missed, fill, x).reshape(height, width)
+    def ch(x, fill):
+        return jnp.where(missed, fill, x)
 
+    def bc(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    packed_z = jnp.stack(
+        [bc(ch(hit.t, jnp.float32(BACKGROUND_DEPTH))),
+         ch(oct_n, jnp.uint32(0)).astype(jnp.int32),
+         ch(albedo, jnp.uint32(0)).astype(jnp.int32),
+         ch(spec_rough, jnp.uint32(0)).astype(jnp.int32)], axis=1)
+    em_mo_z = bc(jnp.where(missed[:, None], 0.0,
+                           jnp.concatenate([geom.emission, motion], axis=1)))
+    packed = jnp.concatenate([packed_z, em_mo_z], axis=1)[jnp.asarray(zinv)]
+
+    depth = jax.lax.bitcast_convert_type(packed[:, 0], jnp.float32)
+    oct_row = packed[:, 1].astype(jnp.uint32)
+    em_mo = jax.lax.bitcast_convert_type(packed[:, 4:10], jnp.float32)
     gbuffer = GBuffer(
-        depth=img(hit.t, jnp.float32(BACKGROUND_DEPTH)),
-        normals=img(oct_n, jnp.uint32(0)),
+        depth=depth.reshape(height, width),
+        normals=oct_row.reshape(height, width),
         # geo normal = shading normal (g_buffer.rgen:32-33 quirk)
-        geo_normals=img(oct_n, jnp.uint32(0)),
-        diffuse_albedo=img(albedo, jnp.uint32(0)),
-        specular_rough=img(spec_rough, jnp.uint32(0)),
-        emissive=jnp.where(missed[..., None], 0.0,
-                           geom.emission).reshape(height, width, 3),
+        geo_normals=oct_row.reshape(height, width),
+        diffuse_albedo=packed[:, 2].astype(jnp.uint32).reshape(height, width),
+        specular_rough=packed[:, 3].astype(jnp.uint32).reshape(height, width),
+        emissive=em_mo[:, 0:3].reshape(height, width, 3),
     )
-    motion = jnp.where(missed[..., None], 0.0, motion).reshape(height, width, 3)
-    return gbuffer, motion
+    return gbuffer, em_mo[:, 3:6].reshape(height, width, 3)
 
 
 def surface_from_gbuffer_grid(gbuffer: GBuffer, view: PlanarViewConstants,
