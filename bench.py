@@ -405,7 +405,16 @@ def main():
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "bundle", "bundle_pallas",
                                  "scatter", "lbvh", "brute"])
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (this box's axon "
+                             "sitecustomize overrides JAX_PLATFORMS, so "
+                             "the env var alone cannot)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     detail: dict = {}
 
