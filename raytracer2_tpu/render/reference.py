@@ -126,12 +126,25 @@ def render_reference(
             px.astype(jnp.uint32), py.astype(jnp.uint32),
             g_const.frame + jnp.uint32(13))
         primary = raysmod.setup_primary_ray(px, py, g_const.view)
+        # the camera ray is identical for every sample: trace bounce 0
+        # ONCE and reuse its hit/surface across the sample loop (the
+        # shader re-traces per sample, refrence.rgen:25-29, but tracing
+        # is deterministic so this is bit-identical at (spp-1)/spp fewer
+        # primary traces; the sample RNG streams start at the bounce-0
+        # BRDF draw, which stays inside the loop)
+        t_min0 = jnp.full((n,), 0.001, jnp.float32)
+        hit0 = tf(primary.origin, primary.direction, t_min0,
+                  jnp.where(valid, BACKGROUND_DEPTH, -1.0), presorted=True)
+        surface0, emission0 = surface_from_hit(
+            scene, primary.origin, primary.direction, hit0,
+            textures_enabled=textures_enabled)
         return jax.lax.fori_loop(
             0, max_samples,
-            lambda _, c: sample_body(c, primary, valid),
+            lambda _, c: sample_body(c, primary, valid,
+                                     (hit0, surface0, emission0)),
             (jnp.zeros((n, 3), jnp.float32), chunk_rng, jnp.uint32(0)))
 
-    def sample_body(carry, primary, valid):
+    def sample_body(carry, primary, valid, pre0):
         radiance, rng_state, live_rays = carry
         throughput = jnp.ones((n, 3), jnp.float32)
         active = valid
@@ -140,19 +153,22 @@ def render_reference(
         t_min = jnp.full((n,), 0.001, jnp.float32)  # refrence.rgen:27
         t_max = jnp.full((n,), BACKGROUND_DEPTH, jnp.float32)
 
-        def bounce_body(bcarry, presorted=False):
+        def bounce_body(bcarry, pre=None):
             (radiance, throughput, active, origin, direction, rng_state,
              live_rays) = bcarry
             if with_ray_count:
                 live_rays = live_rays + jnp.sum(active.astype(jnp.uint32))
-            # dead lanes get t_max = -1: the bundle tracer excludes them from
-            # bundle bounds and they can never hit (free lane compaction)
-            lane_tmax = jnp.where(active, t_max, -1.0)
-            hit = tf(origin, direction, t_min, lane_tmax,
-                     presorted=presorted)
-            surface, emission = surface_from_hit(
-                scene, origin, direction, hit,
-                textures_enabled=textures_enabled)
+            if pre is None:
+                # dead lanes get t_max = -1: the bundle tracer excludes
+                # them from bundle bounds and they can never hit (free
+                # lane compaction)
+                lane_tmax = jnp.where(active, t_max, -1.0)
+                hit = tf(origin, direction, t_min, lane_tmax)
+                surface, emission = surface_from_hit(
+                    scene, origin, direction, hit,
+                    textures_enabled=textures_enabled)
+            else:
+                hit, surface, emission = pre
 
             missed = hit.missed
             env = get_environment_radiance(scene, direction, environment)
@@ -186,10 +202,9 @@ def render_reference(
 
         bcarry = (radiance, throughput, active, origin, direction, rng_state,
                   live_rays)
-        # bounce 0 is peeled out: camera rays are already Z-tile coherent,
-        # so the tracer can skip its runtime sort (presorted=True)
+        # bounce 0 is peeled out with the hoisted primary hit (above)
         if max_bounces >= 1:
-            bcarry = bounce_body(bcarry, presorted=True)
+            bcarry = bounce_body(bcarry, pre=pre0)
         radiance, _, _, _, _, rng_state, live_rays = jax.lax.fori_loop(
             1, max_bounces, lambda _, c: bounce_body(c), bcarry)
         return radiance, rng_state, live_rays
