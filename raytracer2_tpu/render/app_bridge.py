@@ -107,31 +107,43 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                        k_cand=256),
             False: dict(bundle_size=128, mb=16 if big else 8,
                         group=8 if big else 4, k_cand=256),
+            # Z-presorted shadow batches (bridge visibility rays): tile
+            # origins but scattered directions — keep the tight
+            # incoherent bundle shape while skipping the runtime sort
+            "shadow": dict(bundle_size=128, mb=16 if big else 8,
+                           group=8 if big else 4, k_cand=256),
         }
         # explicit knobs (app.py --cull/--k-cand/--group/...) win over the
         # scene-size heuristics
         for key, val in (("cull", cull), ("k_cand", k_cand),
                          ("bundle_size", bundle_size), ("group", group)):
             if val is not None:
-                by_sort[True][key] = val
-                by_sort[False][key] = val
+                for shapes in by_sort.values():
+                    shapes[key] = val
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, **by_sort[presorted])
+                presorted=bool(presorted), **by_sort[presorted])
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, **by_sort[presorted])
+                presorted=bool(presorted), **by_sort[presorted])
 
         def probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=presorted, with_overflow=True,
+                presorted=bool(presorted), with_overflow=True,
+                **by_sort[presorted])
+            return flag
+
+        def occl_probe(o, d, tmin, tmax, presorted=False):
+            _, flag = ptm.occluded_bundle_pallas(
+                clusters, o, d, tmin, tmax, scene_min, scene_max,
+                presorted=bool(presorted), with_overflow=True,
                 **by_sort[presorted])
             return flag
 
@@ -267,6 +279,24 @@ def make_bridge(
 
         o, d, tmin, tmax = setup_visibility_ray(surface, sample_position)
         batch = tmin.shape
+        if len(batch) == 2 and batch[0] * batch[1] >= 4096:
+            # pixel-grid launch: shadow-ray origins are the (Z-coherent)
+            # primary surfaces, so a static Z-curve reorder + the
+            # tracer's presorted path skips the runtime cull sort (a
+            # dense per-ray key pass + argsort + permutation gathers).
+            # One packed [N, 8] gather in, one [N] gather out.
+            from raytracer2_tpu.render.rays import zorder_permutation
+
+            h, w = batch
+            zidx, zinv = zorder_permutation(w, h)
+            packed = jnp.concatenate(
+                [o.reshape(-1, 3), d.reshape(-1, 3),
+                 tmin.reshape(-1, 1), tmax.reshape(-1, 1)],
+                axis=1)[jnp.asarray(zidx)]
+            blocked_z = tracers.occluded(
+                packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+                presorted="shadow")
+            return ~blocked_z[jnp.asarray(zinv)].reshape(batch)
         blocked = tracers.occluded(o.reshape(-1, 3), d.reshape(-1, 3),
                                    tmin.reshape(-1), tmax.reshape(-1))
         return ~blocked.reshape(batch)

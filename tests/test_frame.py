@@ -246,3 +246,34 @@ def test_checkerboard_matches_full_grid(setup):
     assert np.all(np.isfinite(cb))
     ratio = cb.mean() / full.mean()
     assert 0.88 < ratio < 1.12, f"checkerboard energy ratio {ratio:.4f}"
+
+
+def test_zorder_shadow_visibility_matches_direct(setup):
+    """Pixel-grid visibility batches (>= 4096 rays) route through a static
+    Z-curve reorder + the tracer's presorted path (app_bridge.py
+    get_conservative_visibility). The permutation + inverse must be
+    transparent: results identical to tracing the rays in launch order."""
+    from raytracer2_tpu.render.app_bridge import make_bridge
+    from raytracer2_tpu.render.shading import setup_visibility_ray
+    from raytracer2_tpu.render.surface import empty_surface
+
+    renderer, g = setup
+    n = 64  # 64*64 = 4096: the smallest grid that takes the Z-reorder path
+    key = jax.random.PRNGKey(7)
+    pos = jax.random.uniform(key, (n, n, 3), minval=-4.0, maxval=4.0)
+    surface = empty_surface((n, n))._replace(
+        world_pos=pos, view_depth=jnp.ones((n, n)))
+    target = jnp.broadcast_to(jnp.array([0.0, 4.0, -12.0]), (n, n, 3))
+    bridge = make_bridge(
+        renderer.scene, renderer.tracers, None, None, g, None, None,
+        None, None, renderer.neighbor_offsets, n, n)
+    vis = np.asarray(bridge.get_conservative_visibility(surface, target))
+
+    o, d, tmin, tmax = setup_visibility_ray(surface, target)
+    blocked = renderer.tracers.occluded(
+        o.reshape(-1, 3), d.reshape(-1, 3),
+        tmin.reshape(-1), tmax.reshape(-1))
+    direct = np.asarray(~blocked.reshape((n, n)))
+    assert vis.shape == (n, n)
+    assert 0.01 < vis.mean() < 0.99  # a real mix of blocked and visible
+    assert np.array_equal(vis, direct)
