@@ -240,5 +240,6 @@ def test_di_gi_display_matches_oracle(setup):
     ratio = acc.mean() / oracle.mean()
     assert err < 0.12, f"DI+GI display RMSE {err:.4f}"
     # measured 1.028 at 300 frames (DI alone converges to 1.042 on this
-    # config; the GI increment itself is ~0.98 of the oracle's)
-    assert 0.95 < ratio < 1.10, f"DI+GI energy ratio {ratio:.4f}"
+    # config; the GI increment itself is ~0.98 of the oracle's) — the
+    # bound leaves ~2x the observed frame-count wobble above that
+    assert 0.95 < ratio < 1.08, f"DI+GI energy ratio {ratio:.4f}"
