@@ -1157,7 +1157,7 @@ def _occlude_kernel(cand_count_ref,
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb"))
+                                   "mb", "overflow_fallback"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1177,13 +1177,16 @@ def occluded_bundle_pallas(
     k_sc: int = 12,
     with_overflow: bool = False,
     mb: int = 8,
+    overflow_fallback: bool = True,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
     lighting_passes/TraceVisibility.glsl semantics). Pass presorted=True
     when the rays are already coherent (e.g. Z-curve pixel order) to skip
     the cull-order sort + permutation gathers. with_overflow=True also
-    returns the candidate-truncation flag (module doc of _prep)."""
+    returns the candidate-truncation flag (module doc of _prep).
+    overflow_fallback=True (default) makes truncation harmless: see
+    closest_hit_bundle_pallas."""
     sp = _s_pad(clusters)
     if cull == "sc":
         m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
@@ -1214,6 +1217,15 @@ def occluded_bundle_pallas(
     if perm is not None:
         hit = hit[jnp.argsort(perm)]
     blocked = hit.astype(jnp.bool_)
+    if overflow_fallback and cull in ("auto", "exact", "hier"):
+        from raytracer2_tpu.ops import traverse_bundle as tbm
+
+        blocked = jax.lax.cond(
+            overflowed,
+            lambda: tbm.occluded_bundle(
+                clusters, origins, directions, t_min, t_max,
+                scene_min, scene_max, sort_rays=not presorted),
+            lambda: blocked)
     if with_overflow:
         return blocked, overflowed
     return blocked
@@ -1222,7 +1234,7 @@ def occluded_bundle_pallas(
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb"))
+                                   "mb", "overflow_fallback"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1244,11 +1256,20 @@ def closest_hit_bundle_pallas(
     k_sc: int = 12,
     with_overflow: bool = False,
     mb: int = 8,
+    overflow_fallback: bool = True,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
     src/shaders/common.glsl:23-28). with_overflow=True returns
-    (HitRecord, overflowed) — see _prep."""
+    (HitRecord, overflowed) — see _prep.
+
+    overflow_fallback=True (default) closes the truncation hazard
+    structurally (VERDICT r2 #1a): when any bundle's exact candidate
+    union exceeded k_cand, the whole batch re-traces through the XLA
+    bundle walk (full-length interval candidate lists — can never
+    truncate). The fallback sits behind lax.cond, so it costs nothing
+    unless taken; correct tunings never take it (tests force it with a
+    tiny k_cand)."""
     sp = _s_pad(clusters)
     if cull == "sc":
         m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
@@ -1334,6 +1355,16 @@ def closest_hit_bundle_pallas(
         u=jnp.where(missed_r, 0.0, u_r),
         v=jnp.where(missed_r, 0.0, v_r),
         geometry_index=geom, primitive_id=prim, triangle_index=tri_r)
+    if overflow_fallback and cull in ("auto", "exact", "hier"):
+        from raytracer2_tpu.ops import traverse_bundle as tbm
+
+        rec = jax.lax.cond(
+            overflowed,
+            lambda: tbm.closest_hit_bundle(
+                clusters, tri_geometry, tri_primitive, origins, directions,
+                t_min, t_max, scene_min, scene_max,
+                sort_rays=not presorted),
+            lambda: rec)
     if with_overflow:
         return rec, overflowed
     return rec

@@ -440,3 +440,62 @@ class TestOverflowSurfacing:
         tr = make_tracers(sphere_scene, backend="bundle_pallas",
                           cluster_size=4, k_cand=1)
         assert tr.overflow_probe is not None
+
+
+class TestOverflowFallback:
+    """overflow_fallback (VERDICT r2 #1a): a k_cand far below the true
+    per-bundle union forces candidate truncation; the lax.cond fallback
+    re-traces through the XLA bundle walk, so results must STILL match
+    the brute-force oracle exactly. With the fallback disabled the same
+    k_cand produces false misses, proving the test actually bites."""
+
+    def _setup(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+
+        clusters = build_clusters(
+            sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, cluster_size=4)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=33, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        return clusters, smin, smax, origins, dirs, ref
+
+    def test_closest_hit_fallback_restores_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters, smin, smax, origins, dirs, ref = self._setup(sphere_scene)
+        kw = dict(bundle_size=128, k_cand=2, interpret=True,
+                  with_overflow=True)
+        rec, ovf = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax, **kw)
+        assert bool(ovf), "k_cand=2 must overflow on this scene"
+        np.testing.assert_array_equal(np.asarray(rec.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(rec.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+
+        bare, ovf2 = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            overflow_fallback=False, **kw)
+        assert bool(ovf2)
+        assert (np.asarray(bare.missed) != np.asarray(ref.missed)).any(), \
+            "without the fallback, k_cand=2 should produce false misses"
+
+    def test_occlusion_fallback_restores_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.pallas_traverse import occluded_bundle_pallas
+
+        clusters, smin, smax, origins, dirs, ref = self._setup(sphere_scene)
+        got, ovf = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, jnp.full((512,), 1e5),
+            smin, smax, bundle_size=128, k_cand=2, interpret=True,
+            with_overflow=True)
+        assert bool(ovf)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
