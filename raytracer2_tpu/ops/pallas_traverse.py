@@ -133,6 +133,23 @@ def _wald_rows(clusters: Clusters) -> jax.Array:
     return rows
 
 
+def _wald_rows_mm(clusters: Clusters) -> jax.Array:
+    """Component-major twin of _wald_rows for the MXU intersect path:
+    row (c*4 + k) holds transform input k (x, y, z, bias) of output
+    component c, so rows [c*4:(c+1)*4] form the [4, S_pad] matrix of one
+    affine and the kernel evaluates all six Wald affines as three
+    [2P, 4] @ [4, W] dots on the MXU (_intersect_block_mm). Same
+    [C, 16, S_pad] shape/DMA footprint as _wald_rows."""
+    c, _, w3 = clusters.wald.shape
+    s = w3 // 3
+    sp = ((s + LANE_PAD - 1) // LANE_PAD) * LANE_PAD
+    rows = (clusters.wald.reshape(c, 4, s, 3)
+            .transpose(0, 3, 1, 2)  # [C, 3(c), 4(k), S]
+            .reshape(c, 12, s))
+    rows = jnp.pad(rows, ((0, 0), (0, 4), (0, sp - s)))
+    return rows
+
+
 def _wald_sc_rows(clusters: Clusters, m: int) -> jax.Array:
     """SC-contiguous Wald layout [SC, 16, m*S_pad]: supercluster s's m
     clusters sit side by side in the lane dimension, so ONE DMA per walk
@@ -926,12 +943,43 @@ def _intersect_block(w, rt):
     return t, uu, vv, valid
 
 
+def _ray_matrix(rt, p):
+    """Loop-invariant MXU operand: [2P, 4] = [o | 1 ; d | 0] per bundle.
+    Built once before the walk loop (the per-step cost is the dot)."""
+    o3 = rt[:, 0:3]
+    d3 = rt[:, 3:6]
+    top = jnp.concatenate([o3, jnp.ones((p, 1), jnp.float32)], axis=1)
+    bot = jnp.concatenate([d3, jnp.zeros((p, 1), jnp.float32)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _intersect_block_mm(w, ray_mat, p):
+    """MXU variant of _intersect_block: the 18 lane-parallel FMAs of the
+    six Wald affines become three [2P, 4] @ [4, W] dots (w rows are
+    component-major, _wald_rows_mm), freeing the VPU for the predicates.
+    precision=HIGHEST keeps f32-accurate products so hit/miss parity
+    with the brute-force oracle holds at triangle edges."""
+    outs = []
+    for c in range(3):
+        outs.append(jax.lax.dot(
+            ray_mat, w[c * 4:(c + 1) * 4, :],
+            precision=jax.lax.Precision.HIGHEST))
+    op_u, dp_u = outs[0][:p], outs[0][p:]
+    op_v, dp_v = outs[1][:p], outs[1][p:]
+    op_z, dz = outs[2][:p], outs[2][p:]
+    valid = jnp.abs(dz) > 1e-12
+    t = -op_z / dz
+    uu = op_u + t * dp_u
+    vv = op_v + t * dp_v
+    return t, uu, vv, valid
+
+
 def _walk_kernel(cand_count_ref,
                  rays_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
                  out_ref,
                  idx_rows, t_rows, scratch, sems, row_sems,
-                 *, group, mb, sc_m=0):
+                 *, group, mb, sc_m=0, mm=False):
     """MB bundles per grid step, `group` clusters per walk iteration;
     packed-key winner tracking (module doc). The per-ray winner is
     carried as a CODE (cluster * S_pad + triangle slot); the host turns
@@ -970,6 +1018,7 @@ def _walk_kernel(cand_count_ref,
         rt = rays_ref[j * p:(j + 1) * p, :]  # [P, 8]
         tn_col = rt[:, 6:7]
         tx = rt[:, 7]
+        ray_mat = _ray_matrix(rt, p) if mm else None
 
         # init key from per-ray t_max: IEEE bits are monotone for t >= 0;
         # dead lanes (t_max < 0) get a negative key no hit can beat. Low
@@ -986,7 +1035,8 @@ def _walk_kernel(cand_count_ref,
                 <= worst)
 
         def body(state, fetch=fetch, cand_at=cand_at, n_cand=n_cand,
-                 k_max=k_max, depth=depth, rt=rt, tn_col=tn_col):
+                 k_max=k_max, depth=depth, rt=rt, tn_col=tn_col,
+                 ray_mat=ray_mat):
             it, best_key, best_code = state
             slot = jax.lax.rem(it, depth)
 
@@ -1006,7 +1056,11 @@ def _walk_kernel(cand_count_ref,
                     def _(g=g):
                         fetch(it * group + g, g).wait()
 
-            t, uu, vv, valid = _intersect_block(scratch[slot], rt)
+            if mm:
+                t, uu, vv, valid = _intersect_block_mm(
+                    scratch[slot], ray_mat, p)
+            else:
+                t, uu, vv, valid = _intersect_block(scratch[slot], rt)
             hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                    & (t > tn_col))
             if not sc_m:
@@ -1064,7 +1118,7 @@ def _occlude_kernel(cand_count_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
                     idx_rows, t_rows, scratch, sems, row_sems,
-                    *, group, mb, sc_m=0):
+                    *, group, mb, sc_m=0, mm=False):
     """Any-hit variant of _walk_kernel: a ray is done at its first hit;
     each bundle exits once every live ray is blocked or candidates run
     out. sc_m > 0: supercluster mode (see _walk_kernel)."""
@@ -1093,6 +1147,7 @@ def _occlude_kernel(cand_count_ref,
         tx = rt[:, 7]
         tn_col = rt[:, 6:7]
         tx_col = rt[:, 7:8]
+        ray_mat = _ray_matrix(rt, p) if mm else None
 
         # padded rays carry t_max < t_min: done from the start. The done
         # mask is carried as int32 (Mosaic cannot yield i1 loop vectors).
@@ -1110,7 +1165,7 @@ def _occlude_kernel(cand_count_ref,
             return more & near_enough
 
         def body(state, fetch=fetch, n_cand=n_cand, depth=depth, rt=rt,
-                 tn_col=tn_col, tx_col=tx_col):
+                 tn_col=tn_col, tx_col=tx_col, ray_mat=ray_mat):
             it, done = state
             slot = jax.lax.rem(it, depth)
 
@@ -1130,7 +1185,11 @@ def _occlude_kernel(cand_count_ref,
                     def _(g=g):
                         fetch(it * group + g, g).wait()
 
-            t, uu, vv, valid = _intersect_block(scratch[slot], rt)
+            if mm:
+                t, uu, vv, valid = _intersect_block_mm(
+                    scratch[slot], ray_mat, p)
+            else:
+                t, uu, vv, valid = _intersect_block(scratch[slot], rt)
             hit = (valid & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                    & (t > tn_col) & (t < tx_col))
             if not sc_m:
@@ -1157,7 +1216,7 @@ def _occlude_kernel(cand_count_ref,
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb", "overflow_fallback"))
+                                   "mb", "overflow_fallback", "mm"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1178,6 +1237,7 @@ def occluded_bundle_pallas(
     with_overflow: bool = False,
     mb: int = 8,
     overflow_fallback: bool = True,
+    mm: bool = False,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -1191,11 +1251,12 @@ def occluded_bundle_pallas(
     if cull == "sc":
         m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
         group, sc_m = m_super, m_super
+        mm = False  # SC layout is row-major only (negative-result path)
         wald = _wald_sc_rows(clusters, m_super)
     else:
         group = max(1, min(group, (1 << SLOT_BITS) // sp))
         sc_m = 0
-        wald = _wald_rows(clusters)
+        wald = _wald_rows_mm(clusters) if mm else _wald_rows(clusters)
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _, overflowed) = _prep(
@@ -1207,7 +1268,7 @@ def occluded_bundle_pallas(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     hit = pl.pallas_call(
-        partial(_occlude_kernel, group=group, mb=mb, sc_m=sc_m),
+        partial(_occlude_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
                              out_rows=1, mb=mb),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
@@ -1234,7 +1295,7 @@ def occluded_bundle_pallas(
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb", "overflow_fallback"))
+                                   "mb", "overflow_fallback", "mm"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1257,6 +1318,7 @@ def closest_hit_bundle_pallas(
     with_overflow: bool = False,
     mb: int = 8,
     overflow_fallback: bool = True,
+    mm: bool = False,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1274,11 +1336,12 @@ def closest_hit_bundle_pallas(
     if cull == "sc":
         m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
         group, sc_m = m_super, m_super
+        mm = False  # SC layout is row-major only (negative-result path)
         wald = _wald_sc_rows(clusters, m_super)
     else:
         group = max(1, min(group, (1 << SLOT_BITS) // sp))
         sc_m = 0
-        wald = _wald_rows(clusters)
+        wald = _wald_rows_mm(clusters) if mm else _wald_rows(clusters)
     assert group * sp <= (1 << SLOT_BITS), \
         "packed winner keys carry the slot in the low SLOT_BITS bits"
     n_orig = origins.shape[0]
@@ -1292,7 +1355,7 @@ def closest_hit_bundle_pallas(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
     out = pl.pallas_call(
-        partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m),
+        partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
                              out_rows=1, mb=mb),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),

@@ -499,3 +499,54 @@ class TestOverflowFallback:
         assert bool(ovf)
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
+
+
+class TestMXUIntersect:
+    """mm=True evaluates the six Wald affines as [2P,4]@[4,W] dots on the
+    MXU (_intersect_block_mm + _wald_rows_mm component-major layout).
+    Parity with the brute oracle must be exact — precision=HIGHEST keeps
+    f32-accurate products, so hit/miss agreement holds at triangle edges."""
+
+    def test_closest_hit_mm_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=35, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            interpret=True, mm=True)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_array_equal(np.asarray(got.triangle_index)[m],
+                                      np.asarray(ref.triangle_index)[m])
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+
+    def test_occlusion_mm_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import occluded_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=36, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, jnp.full((512,), 1e5),
+            smin, smax, interpret=True, mm=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
