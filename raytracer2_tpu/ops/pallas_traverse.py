@@ -238,6 +238,44 @@ def _entry_exact(o, d, tn, tx, amin, amax):
     return jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
 
 
+def _entry_exact_cap(o, d, tn, tx, amin, amax):
+    """_entry_exact + per-ray hit cap: alongside the [n, C] entry
+    distances, return each ray's farthest EXIT distance over the clusters
+    it overlaps. Any committable hit's triangle lies inside some
+    overlapped cluster's AABB, so its t can never exceed that cluster's
+    far slab — min(t_max, cap) is a CORRECT tighter t_max. Rays
+    overlapping nothing return -inf (they cannot hit anything and retire
+    immediately). The cap is inflated by a relative epsilon downstream to
+    absorb f32 rounding differences between the slab far and the Wald t."""
+    eps = 1e-12
+    ds = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
+    inv = 1.0 / ds  # [n, 3]
+    near = jnp.full(o.shape[:1] + amin.shape[:1], -jnp.inf, jnp.float32)
+    far = jnp.full(o.shape[:1] + amin.shape[:1], jnp.inf, jnp.float32)
+    for ax in range(3):
+        ia = inv[:, ax:ax + 1]
+        oa = o[:, ax:ax + 1]
+        t0 = (amin[None, :, ax] - oa) * ia  # [n, C]
+        t1 = (amax[None, :, ax] - oa) * ia
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hit = ((near <= far) & (far >= tn[:, None]) & (near <= tx[:, None])
+           & (tx >= 0.0)[:, None])
+    entry = jnp.where(hit, jnp.maximum(near, 0.0), jnp.inf)
+    cap = jnp.max(jnp.where(hit, far, -jnp.inf), axis=-1)
+    return entry, cap
+
+
+def _apply_t_cap(tx, cap):
+    """Clamp per-ray t_max to the overlapped-cluster exit cap (see
+    _entry_exact_cap). Epsilon-inflated so boundary hits survive f32
+    rounding. Nothing-overlapped rays (cap = -inf) clamp to the finite
+    -1.0 dead-ray convention — bits(-inf) | SLOT_MASK is a NaN pattern
+    that would poison the kernel's max-reduce early-exit bound and kill
+    the whole bundle's walk."""
+    return jnp.minimum(tx, jnp.maximum(cap * 1.0001 + 1e-6, -1.0))
+
+
 def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
     """Per-ray sort key: [nearest exactly-overlapped box id | morton
     tiebreak]. Boxes are cluster AABBs (exact cull) or supercluster AABBs
@@ -370,9 +408,13 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
 
 def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
                            scene_min, scene_max, bundle_size, presorted,
-                           k_cand):
+                           k_cand, t_cap=True):
     """Exact-cull prep: per-ray slab tests, cand0 ray sort, per-bundle
-    union candidate lists ranked nearest-first (module docstring)."""
+    union candidate lists ranked nearest-first (module docstring).
+    t_cap=True additionally clamps each ray's t_max to its farthest
+    overlapped-cluster exit (_entry_exact_cap) — free (the dense pass
+    already computes far) and it stops far-miss rays from holding their
+    bundle's early exit open for the whole candidate union."""
     n_orig = origins.shape[0]
     p = bundle_size
     c = clusters.num_clusters
@@ -403,23 +445,26 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
 
     def one(args):
         oo, dd, tnn, txx = args  # [cb*p, ...]
-        e = _entry_exact(oo, dd, tnn, txx,
-                         clusters.aabb_min, clusters.aabb_max)
+        e, cap = _entry_exact_cap(oo, dd, tnn, txx,
+                                  clusters.aabb_min, clusters.aabb_max)
         ue = jnp.min(e.reshape(cb, p, c), axis=1)  # [cb, C] union entry
         n_union = jnp.sum(jnp.isfinite(ue), axis=-1)
         neg_t, idx = jax.lax.top_k(-ue, k)  # nearest-first
-        return -neg_t, idx.astype(jnp.int32), n_union.astype(jnp.int32)
+        return -neg_t, idx.astype(jnp.int32), n_union.astype(jnp.int32), cap
 
     nb = b // cb
     if nb == 1:
-        cand_t, cand_idx, n_union = one((o, d, tn, tx))
+        cand_t, cand_idx, n_union, cap = one((o, d, tn, tx))
     else:
-        cand_t, cand_idx, n_union = jax.lax.map(
+        cand_t, cand_idx, n_union, cap = jax.lax.map(
             one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
                   tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
         cand_t = cand_t.reshape(b, k)
         cand_idx = cand_idx.reshape(b, k)
         n_union = n_union.reshape(b)
+        cap = cap.reshape(n)
+    if t_cap:
+        tx = _apply_t_cap(tx, cap)
 
     cand_count = jnp.minimum(
         jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
@@ -721,7 +766,7 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
 
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-          bundle_size, presorted, cull, k_cand, m_super, k_sc):
+          bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=True):
     """Returns (..., overflowed): overflowed is a device bool scalar, True
     when some bundle's true candidate union exceeded k_cand (exact/hier
     culls truncate — rays whose closest hit lives in a dropped cluster
@@ -745,7 +790,7 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
     if cull == "exact":
         return _prepare_bundles_exact(
             clusters, origins, directions, t_min, t_max, scene_min,
-            scene_max, bundle_size, presorted, k_cand)
+            scene_max, bundle_size, presorted, k_cand, t_cap=t_cap)
     out = _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"))
@@ -979,7 +1024,7 @@ def _walk_kernel(cand_count_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
                  out_ref,
                  idx_rows, t_rows, scratch, sems, row_sems,
-                 *, group, mb, sc_m=0, mm=False):
+                 *, group, mb, sc_m=0, mm=False, debug_steps=False):
     """MB bundles per grid step, `group` clusters per walk iteration;
     packed-key winner tracking (module doc). The per-ray winner is
     carried as a CODE (cluster * S_pad + triangle slot); the host turns
@@ -1111,6 +1156,10 @@ def _walk_kernel(cand_count_ref,
                         fetch((it_final + off) * group + g, g).wait()
 
         out_ref[j, 0, :] = best_code
+        if debug_steps:
+            # telemetry row: walk iterations this bundle actually took
+            # (early exit included) — the per-bundle work histogram
+            out_ref[j, 1, :] = jnp.full((p,), it_final, jnp.int32)
 
 
 def _occlude_kernel(cand_count_ref,
@@ -1118,7 +1167,7 @@ def _occlude_kernel(cand_count_ref,
                     cand_idx_hbm, cand_t_hbm, wald_hbm,
                     hit_out,
                     idx_rows, t_rows, scratch, sems, row_sems,
-                    *, group, mb, sc_m=0, mm=False):
+                    *, group, mb, sc_m=0, mm=False, debug_steps=False):
     """Any-hit variant of _walk_kernel: a ray is done at its first hit;
     each bundle exits once every live ray is blocked or candidates run
     out. sc_m > 0: supercluster mode (see _walk_kernel)."""
@@ -1211,12 +1260,15 @@ def _occlude_kernel(cand_count_ref,
                         fetch((it_final + off) * group + g, g).wait()
 
         hit_out[j, 0, :] = done * (tx > tn).astype(jnp.int32)
+        if debug_steps:
+            hit_out[j, 1, :] = jnp.full((p,), it_final, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb", "overflow_fallback", "mm"))
+                                   "mb", "overflow_fallback", "mm", "t_cap",
+                                   "debug_steps"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1238,6 +1290,8 @@ def occluded_bundle_pallas(
     mb: int = 8,
     overflow_fallback: bool = True,
     mm: bool = False,
+    t_cap: bool = True,
+    debug_steps: bool = False,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -1261,23 +1315,30 @@ def occluded_bundle_pallas(
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand, m_super, k_sc)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap)
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
+    out_rows = 2 if debug_steps else 1
     hit = pl.pallas_call(
-        partial(_occlude_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm),
+        partial(_occlude_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm,
+                debug_steps=debug_steps),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
-                             out_rows=1, mb=mb),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
+                             out_rows=out_rows, mb=mb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, out_rows, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
-    hit = hit.reshape(b_pad * p)[:n_orig]
+    steps = hit[:b, 1, 0] if debug_steps else None
+    hit = hit[:, 0, :].reshape(b_pad * p)[:n_orig]
     if perm is not None:
         hit = hit[jnp.argsort(perm)]
     blocked = hit.astype(jnp.bool_)
+    if debug_steps:
+        # measurement mode: per-bundle walk telemetry, no fallback branch
+        return blocked, {"steps": steps, "cand_count": cand_count[:b],
+                         "overflowed": overflowed}
     if overflow_fallback and cull in ("auto", "exact", "hier"):
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
@@ -1295,7 +1356,8 @@ def occluded_bundle_pallas(
 @partial(jax.jit, static_argnames=("bundle_size", "interpret", "presorted",
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
-                                   "mb", "overflow_fallback", "mm"))
+                                   "mb", "overflow_fallback", "mm", "t_cap",
+                                   "debug_steps"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1319,6 +1381,8 @@ def closest_hit_bundle_pallas(
     mb: int = 8,
     overflow_fallback: bool = True,
     mm: bool = False,
+    t_cap: bool = True,
+    debug_steps: bool = False,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1331,7 +1395,13 @@ def closest_hit_bundle_pallas(
     bundle walk (full-length interval candidate lists — can never
     truncate). The fallback sits behind lax.cond, so it costs nothing
     unless taken; correct tunings never take it (tests force it with a
-    tiny k_cand)."""
+    tiny k_cand).
+
+    mm=True: Wald affines as MXU dots (_intersect_block_mm).
+    t_cap=True (default): clamp per-ray t_max to the farthest
+    overlapped-cluster exit (_entry_exact_cap — free, provably hit-safe).
+    debug_steps=True: measurement mode — returns (result, {steps [b],
+    cand_count [b], overflowed}) and skips the fallback branch."""
     sp = _s_pad(clusters)
     if cull == "sc":
         m_super = max(1, min(m_super, (1 << SLOT_BITS) // sp))
@@ -1348,20 +1418,23 @@ def closest_hit_bundle_pallas(
     (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
      n, b, kp, t_max_orig, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand, m_super, k_sc)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap)
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
+    out_rows = 2 if debug_steps else 1
     out = pl.pallas_call(
-        partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm),
+        partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm,
+                debug_steps=debug_steps),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
-                             out_rows=1, mb=mb),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1, p), jnp.int32),
+                             out_rows=out_rows, mb=mb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, out_rows, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
     m_pad = b_pad * p
+    steps = out[:b, 1, 0] if debug_steps else None
     code = out[:, 0, :].reshape(m_pad)[:n_orig]
 
     # winner code -> (triangle, geometry, primitive) + Wald coefficients:
@@ -1418,6 +1491,10 @@ def closest_hit_bundle_pallas(
         u=jnp.where(missed_r, 0.0, u_r),
         v=jnp.where(missed_r, 0.0, v_r),
         geometry_index=geom, primitive_id=prim, triangle_index=tri_r)
+    if debug_steps:
+        # measurement mode: per-bundle walk telemetry, no fallback branch
+        return rec, {"steps": steps, "cand_count": cand_count[:b],
+                     "overflowed": overflowed}
     if overflow_fallback and cull in ("auto", "exact", "hier"):
         from raytracer2_tpu.ops import traverse_bundle as tbm
 

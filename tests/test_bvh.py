@@ -550,3 +550,52 @@ class TestMXUIntersect:
             smin, smax, interpret=True, mm=True)
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
+
+
+class TestTCapAndDebugSteps:
+    """t_cap clamps each ray's t_max to its farthest overlapped-cluster
+    exit (a committable hit can never lie beyond it), retiring far-miss
+    rays from the bundle early-exit bound. Must be invisible in results;
+    debug_steps returns the per-bundle walk telemetry used to verify the
+    step reduction on hardware."""
+
+    def test_t_cap_parity_and_step_reduction(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import (
+            closest_hit_bundle_pallas, occluded_bundle_pallas)
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=4)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(1024, seed=11, spread=5.0)
+        tmax = jnp.full((1024,), 1e5)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        steps = {}
+        for tc in (False, True):
+            rec, info = closest_hit_bundle_pallas(
+                clusters, sphere_scene.tri_geometry,
+                sphere_scene.tri_primitive, origins, dirs, 1e-3, tmax,
+                smin, smax, bundle_size=128, interpret=True, t_cap=tc,
+                debug_steps=True)
+            np.testing.assert_array_equal(np.asarray(rec.missed),
+                                          np.asarray(ref.missed))
+            m = ~np.asarray(ref.missed)
+            np.testing.assert_array_equal(
+                np.asarray(rec.triangle_index)[m],
+                np.asarray(ref.triangle_index)[m])
+            blk, binfo = occluded_bundle_pallas(
+                clusters, origins, dirs, 1e-3, tmax, smin, smax,
+                bundle_size=128, interpret=True, t_cap=tc, debug_steps=True)
+            np.testing.assert_array_equal(np.asarray(blk),
+                                          ~np.asarray(ref.missed))
+            steps[tc] = (int(np.asarray(info["steps"]).sum()),
+                         int(np.asarray(binfo["steps"]).sum()))
+        # the cap can only remove work, never add it
+        assert steps[True][0] <= steps[False][0]
+        assert steps[True][1] <= steps[False][1]
+        # and on this scene it measurably does (occlusion path)
+        assert steps[True][1] < steps[False][1]
