@@ -1,0 +1,150 @@
+"""Decompose trace time: prep (dense cull + sort + rank) vs walk kernel.
+
+Times, at the production by_sort shapes for both coherence classes on
+the ladder scene:
+  - prep-only (jit of _prep: per-ray dense cull, cand0 sort, top_k,
+    rank_rows),
+  - the full closest-hit call,
+  - walk ~= full - prep (the kernel + finalize gathers),
+and optionally sweeps cluster_size (64/128/256) at the incoherent
+class, where per-step lane work (W = group * S_pad) trades against
+union candidate counts.
+
+Run from /root/repo with no PYTHONPATH:
+
+    timeout 580 python scripts/trace_decomp.py [--cpu] [--quick]
+    timeout 580 python scripts/trace_decomp.py --csweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--csweep", action="store_true",
+                    help="sweep cluster_size at the incoherent class")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracer2_tpu.models import procedural as proc
+    from raytracer2_tpu.ops import pallas_traverse as ptm
+    from raytracer2_tpu.ops.cluster import build_clusters
+    from raytracer2_tpu.render import rays as raysmod
+    from raytracer2_tpu.render.app_bridge import _host_tris
+    from raytracer2_tpu.scene import gltf
+    from raytracer2_tpu.scene.camera import default_camera
+    from raytracer2_tpu.scene.scene import build_scene
+
+    if args.quick:
+        scene_kind, w, h = "corridor", 256, 256
+    else:
+        scene_kind, w, h = "ladder", 1920, 1080
+    with tempfile.TemporaryDirectory() as tmp:
+        p = Path(tmp) / "scene.glb"
+        if scene_kind == "ladder":
+            proc.write_glb(p, proc.corridor_glb(
+                segments=24, pillars_per_side=12, lat=34, lon=53))
+            cam = default_camera(window_size=(w, h),
+                                 position=(0, 4, 90), direction=(0, 0, 1))
+        else:
+            proc.write_glb(p, proc.corridor_glb(
+                segments=12, pillars_per_side=8, lat=12, lon=16))
+            cam = default_camera(window_size=(w, h),
+                                 position=(0, 4, 60), direction=(0, 0, 1))
+        scene = build_scene(gltf.load_file(p))
+    host = _host_tris(scene)
+    n = w * h
+
+    g_view = cam.planar_view_constants()
+    zidx, _ = raysmod.zorder_permutation(w, h)
+    lin = np.arange(n)
+    px_z = jnp.asarray((lin % w).astype(np.int32)[zidx])
+    py_z = jnp.asarray((lin // w).astype(np.int32)[zidx])
+    pri = raysmod.setup_primary_ray(px_z, py_z, g_view)
+
+    rng = np.random.default_rng(5)
+
+    def timed(fn, *a, **kw):
+        out = fn(*a, **kw)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a, **kw))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def run_at(cluster_size):
+        clusters = build_clusters(*host, cluster_size=cluster_size)
+        smin = jnp.min(clusters.aabb_min, axis=0)
+        smax = jnp.max(clusters.aabb_max, axis=0)
+        lo, hi = np.asarray(smin), np.asarray(smax)
+        o_inc = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        d_inc = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+        tmax_inc = jnp.full((n,), 1e5, jnp.float32)
+
+        big = clusters.num_clusters >= 512
+        shapes = {
+            "pri-z": dict(bundle_size=256 if big else 128, mb=8, group=4,
+                          k_cand=256, presorted=True),
+            "incoh": dict(bundle_size=128, mb=16 if big else 8,
+                          group=8 if big else 4, k_cand=256,
+                          presorted=False),
+        }
+        batches = {
+            "pri-z": (pri.origin, pri.direction, pri.t_min, pri.t_max),
+            "incoh": (o_inc, d_inc, 1e-3, tmax_inc),
+        }
+        print(f"cluster_size={cluster_size} tris={scene.tri_v0.shape[0]} "
+              f"clusters={clusters.num_clusters} rays={n} "
+              f"platform={jax.default_backend()}", flush=True)
+
+        prep_jit = jax.jit(
+            partial(ptm._prep, cull="auto", m_super=32, k_sc=12),
+            static_argnames=("bundle_size", "presorted", "k_cand", "t_cap"))
+
+        for cls, (o, d, tn, tx) in batches.items():
+            kw = shapes[cls]
+            dt_prep = timed(
+                prep_jit, clusters, o, d, tn, tx, smin, smax,
+                bundle_size=kw["bundle_size"], presorted=kw["presorted"],
+                k_cand=kw["k_cand"], t_cap=True)
+            dt_full = timed(
+                ptm.closest_hit_bundle_pallas, clusters,
+                scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                smin, smax, interpret=args.interpret, **kw)
+            print(f"  {cls}: prep {dt_prep*1e3:8.1f} ms | full "
+                  f"{dt_full*1e3:8.1f} ms | walk+fin "
+                  f"{(dt_full-dt_prep)*1e3:8.1f} ms "
+                  f"({n/dt_full/1e6:6.2f} Mr/s)", flush=True)
+
+    if args.csweep:
+        for cs in (64, 128, 256):
+            run_at(cs)
+    else:
+        run_at(128)
+
+
+if __name__ == "__main__":
+    main()
