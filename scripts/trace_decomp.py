@@ -138,6 +138,16 @@ def main():
                   f"{dt_full*1e3:8.1f} ms | walk+fin "
                   f"{(dt_full-dt_prep)*1e3:8.1f} ms "
                   f"({n/dt_full/1e6:6.2f} Mr/s)", flush=True)
+            # interval cull: [B, C] bundle-granularity slab test instead
+            # of the dense per-ray [N, C] pass — full-length candidate
+            # lists, no overflow; tight for coherent bundles
+            iv = "interval" if kw["presorted"] else "exact_iv"
+            dt_iv = timed(
+                ptm.closest_hit_bundle_pallas, clusters,
+                scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                smin, smax, cull=iv, interpret=args.interpret, **kw)
+            print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
+                  f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
 
     if args.csweep:
         for cs in (64, 128, 256):
