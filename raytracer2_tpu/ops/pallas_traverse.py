@@ -408,13 +408,19 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
 
 def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
                            scene_min, scene_max, bundle_size, presorted,
-                           k_cand, t_cap=True):
+                           k_cand, t_cap=True, sort_key="cand0"):
     """Exact-cull prep: per-ray slab tests, cand0 ray sort, per-bundle
     union candidate lists ranked nearest-first (module docstring).
     t_cap=True additionally clamps each ray's t_max to its farthest
     overlapped-cluster exit (_entry_exact_cap) — free (the dense pass
     already computes far) and it stops far-miss rays from holding their
-    bundle's early exit open for the whole candidate union."""
+    bundle's early exit open for the whole candidate union.
+    sort_key="hier" computes the cull-order key at supercluster
+    granularity + a per-SC refine (_hier_sort_key): ~1/m_super of the
+    cand0 key's dense [N, C] pass, <0.1% key mismatch (the CANDIDATE
+    cull below stays per-ray exact either way — only bundle composition
+    changes, so hits are identical; the union tightness is what the key
+    quality buys)."""
     n_orig = origins.shape[0]
     p = bundle_size
     c = clusters.num_clusters
@@ -425,9 +431,16 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
         perm = None
         o, d, tn, tx = origins, directions, t_min, t_max_a
     else:
-        key = _cand0_sort_key(origins, directions, t_min, t_max_a,
-                              clusters.aabb_min, clusters.aabb_max,
-                              scene_min, scene_max)
+        if sort_key == "hier":
+            m_key = 32
+            sc_min, sc_max = _supercluster_boxes(clusters, m_key)
+            key = _hier_sort_key(origins, directions, t_min, t_max_a,
+                                 clusters, sc_min, sc_max, m_key,
+                                 scene_min, scene_max)
+        else:
+            key = _cand0_sort_key(origins, directions, t_min, t_max_a,
+                                  clusters.aabb_min, clusters.aabb_max,
+                                  scene_min, scene_max)
         perm = jnp.argsort(key)
         o, d, tn, tx = _apply_permutation(perm, [origins, directions],
                                           [t_min, t_max_a])
@@ -766,7 +779,8 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
 
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-          bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=True):
+          bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=True,
+          sort_key="cand0"):
     """Returns (..., overflowed): overflowed is a device bool scalar, True
     when some bundle's true candidate union exceeded k_cand (exact/hier
     culls truncate — rays whose closest hit lives in a dropped cluster
@@ -790,7 +804,8 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
     if cull == "exact":
         return _prepare_bundles_exact(
             clusters, origins, directions, t_min, t_max, scene_min,
-            scene_max, bundle_size, presorted, k_cand, t_cap=t_cap)
+            scene_max, bundle_size, presorted, k_cand, t_cap=t_cap,
+            sort_key=sort_key)
     out = _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"))
@@ -1268,7 +1283,7 @@ def _occlude_kernel(cand_count_ref,
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
-                                   "debug_steps"))
+                                   "debug_steps", "sort_key"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1292,6 +1307,7 @@ def occluded_bundle_pallas(
     mm: bool = False,
     t_cap: bool = True,
     debug_steps: bool = False,
+    sort_key: str = "cand0",
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -1315,7 +1331,8 @@ def occluded_bundle_pallas(
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap,
+        sort_key=sort_key)
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
@@ -1357,7 +1374,7 @@ def occluded_bundle_pallas(
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
-                                   "debug_steps"))
+                                   "debug_steps", "sort_key"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1383,6 +1400,7 @@ def closest_hit_bundle_pallas(
     mm: bool = False,
     t_cap: bool = True,
     debug_steps: bool = False,
+    sort_key: str = "cand0",
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1418,7 +1436,8 @@ def closest_hit_bundle_pallas(
     (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
      n, b, kp, t_max_orig, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap)
+        bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap,
+        sort_key=sort_key)
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(

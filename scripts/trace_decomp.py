@@ -148,6 +148,16 @@ def main():
                 smin, smax, cull=iv, interpret=args.interpret, **kw)
             print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
                   f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
+            if not kw["presorted"]:
+                # hier sort key: SC-granularity dense pass for the cull
+                # sort (1/32 of the cand0 key cost), exact cull after
+                dt_hk = timed(
+                    ptm.closest_hit_bundle_pallas, clusters,
+                    scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                    smin, smax, sort_key="hier",
+                    interpret=args.interpret, **kw)
+                print(f"  {cls}: sort_key=hier full {dt_hk*1e3:8.1f} ms "
+                      f"({n/dt_hk/1e6:6.2f} Mr/s)", flush=True)
 
     if args.csweep:
         for cs in (64, 128, 256):
