@@ -158,6 +158,21 @@ def main():
                     interpret=args.interpret, **kw)
                 print(f"  {cls}: sort_key=hier full {dt_hk*1e3:8.1f} ms "
                       f"({n/dt_hk/1e6:6.2f} Mr/s)", flush=True)
+                if not args.interpret:
+                    # scatter engine: per-ray exact pair binning — no
+                    # union inflation, but no front-to-back early exit
+                    from raytracer2_tpu.ops import traverse_scatter as tsm
+                    sc = tsm.build_superclusters(clusters, group=16)
+                    try:
+                        dt_sc = timed(
+                            tsm.closest_hit_scatter, sc,
+                            scene.tri_geometry, scene.tri_primitive,
+                            o, d, tn, tx)
+                        print(f"  {cls}: scatter full {dt_sc*1e3:8.1f} ms "
+                              f"({n/dt_sc/1e6:6.2f} Mr/s)", flush=True)
+                    except Exception as e:  # OOM-class failures expected
+                        print(f"  {cls}: scatter FAILED {type(e).__name__}: "
+                              f"{str(e)[:120]}", flush=True)
 
     if args.csweep:
         for cs in (64, 128, 256):
