@@ -81,6 +81,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="clusters intersected per walk step")
     p.add_argument("--bundle-size", type=int, default=None,
                    help="rays per traversal bundle")
+    p.add_argument("--sort-key", default=None, choices=["cand0", "hier"],
+                   help="cull-order ray sort key (exact cull, unsorted "
+                        "batches): cand0 = dense nearest-cluster, hier = "
+                        "supercluster-refined (~1/32 the key cost)")
     p.add_argument("--cluster-size", type=int, default=None,
                    help="triangles per cluster (acceleration build)")
     p.add_argument("--checkerboard", action="store_true",
@@ -179,7 +183,7 @@ def main(argv=None) -> int:
 
     tracer_opts = {k: v for k, v in dict(
         cull=args.cull, k_cand=args.k_cand, group=args.group,
-        bundle_size=args.bundle_size,
+        bundle_size=args.bundle_size, sort_key=args.sort_key,
         cluster_size=args.cluster_size).items() if v is not None}
     renderer = create_renderer(scene, args.width, args.height,
                                use_bvh=not args.no_bvh,

@@ -61,6 +61,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                  k_cand: int | None = None,
                  group: int | None = None,
                  bundle_size: int | None = None,
+                 sort_key: str | None = None,
                  ) -> Tracers:
     """Traversal backends:
     - "auto" (default): "bundle_pallas" on TPU, "bundle" elsewhere (the
@@ -116,7 +117,8 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         # explicit knobs (app.py --cull/--k-cand/--group/...) win over the
         # scene-size heuristics
         for key, val in (("cull", cull), ("k_cand", k_cand),
-                         ("bundle_size", bundle_size), ("group", group)):
+                         ("bundle_size", bundle_size), ("group", group),
+                         ("sort_key", sort_key)):
             if val is not None:
                 for shapes in by_sort.values():
                     shapes[key] = val
