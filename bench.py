@@ -32,7 +32,8 @@ from pathlib import Path
 BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md, ladder config 3)
 
 
-def _build(scene_kind: str, width: int, height: int, backend: str):
+def _build(scene_kind: str, width: int, height: int, backend: str,
+           tracer_opts: dict | None = None):
     import jax  # noqa: F401
 
     from raytracer2_tpu.models import procedural as proc
@@ -60,7 +61,7 @@ def _build(scene_kind: str, width: int, height: int, backend: str):
                                  position=(0, 0, -12), direction=(0, 0, -1))
         scene = build_scene(gltf.load_file(p))
     renderer = create_renderer(scene, width, height, use_bvh=True,
-                               backend=backend)
+                               backend=backend, tracer_opts=tracer_opts)
     return scene, renderer, cam
 
 
@@ -117,7 +118,8 @@ def run_reference(width: int, height: int, spp: int, bounces: int,
 def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
                  backend: str = "auto", per_pass: bool = False,
                  checkerboard: bool = False,
-                 enable_di: bool = False) -> dict:
+                 enable_di: bool = False,
+                 tracer_opts: dict | None = None) -> dict:
     """Flagship ReSTIR DI+GI frame graph: p50/p95 frame time + rays/s.
     per_pass=True additionally times cumulative pass prefixes (each a
     separately jitted frame stopped after pass k) and reports diffs."""
@@ -132,7 +134,8 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
 
     import dataclasses
 
-    scene, renderer, cam = _build(scene_kind, width, height, backend)
+    scene, renderer, cam = _build(scene_kind, width, height, backend,
+                                  tracer_opts=tracer_opts)
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights)
@@ -402,6 +405,11 @@ def main():
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--scene", default=None,
                         choices=["ladder", "corridor", "cornell"])
+    parser.add_argument("--tracer-opt", action="append", default=[],
+                        metavar="KEY=VAL",
+                        help="extra make_tracers knob for the pipeline "
+                             "stage (repeatable), e.g. --tracer-opt "
+                             "cull=interval --tracer-opt sort_key=hier")
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "bundle", "bundle_pallas",
                                  "scatter", "lbvh", "brute"])
@@ -477,6 +485,11 @@ def main():
                     "detail": dict(detail, provisional=True),
                 }), flush=True)
         if args.mode in ("all", "pipeline"):
+            topts = {}
+            for kv in args.tracer_opt:
+                k, _, v = kv.partition("=")
+                topts[k] = int(v) if v.lstrip("-").isdigit() else v
+            topts = topts or None
             per_pass = args.per_pass
             if per_pass is None:
                 per_pass = True  # always record the breakdown (VERDICT r2)
@@ -485,7 +498,8 @@ def main():
                 width=args.width or 1920, height=args.height or 1080,
                 frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=per_pass)
+                backend=args.backend, per_pass=per_pass,
+                tracer_opts=topts)
             # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
             # lighting rays per frame, alternating fields
             detail["pipeline_checkerboard"] = attempt(
@@ -493,14 +507,16 @@ def main():
                 width=args.width or 1920, height=args.height or 1080,
                 frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=False, checkerboard=True)
+                backend=args.backend, per_pass=False, checkerboard=True,
+                tracer_opts=topts)
             # flagship DI+GI frame (what `app.py` renders by default)
             detail["pipeline_di"] = attempt(
                 run_pipeline,
                 width=args.width or 1920, height=args.height or 1080,
                 frames=args.frames or 8,
                 scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=False, enable_di=True)
+                backend=args.backend, per_pass=False, enable_di=True,
+                tracer_opts=topts)
         if args.mode in ("all", "rmse"):
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
         if args.mode == "_scaling_inner":
