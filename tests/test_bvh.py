@@ -648,3 +648,61 @@ class TestHierSortKey:
             smin, smax, bundle_size=128, interpret=True, sort_key="hier")
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
+
+
+class TestIntervalCullPallas:
+    """cull="interval" in the Pallas engine: per-bundle conservative
+    interval slab test ([B, C]) instead of the dense per-ray pass, with
+    full-length candidate lists (no truncation/overflow path). Must be
+    hit-exact for ANY ray composition (the bundle bounds are
+    conservative), presorted or not."""
+
+    def test_closest_hit_interval_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=39, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        for mm in (False, True):
+            got = closest_hit_bundle_pallas(
+                clusters, sphere_scene.tri_geometry,
+                sphere_scene.tri_primitive, origins, dirs, 1e-3,
+                jnp.full((512,), 1e5), smin, smax, bundle_size=128,
+                interpret=True, cull="interval", presorted=True, mm=mm)
+            np.testing.assert_array_equal(np.asarray(got.missed),
+                                          np.asarray(ref.missed))
+            m = ~np.asarray(ref.missed)
+            np.testing.assert_array_equal(np.asarray(got.triangle_index)[m],
+                                          np.asarray(ref.triangle_index)[m])
+            np.testing.assert_allclose(np.asarray(got.t)[m],
+                                       np.asarray(ref.t)[m], rtol=1e-3)
+
+    def test_occlusion_interval_parity_bounded(self, sphere_scene):
+        """Bounded-t_max shadow-like batch through the presorted path."""
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import occluded_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=40, spread=5.0)
+        rng = np.random.default_rng(41)
+        tmax = jnp.asarray(rng.uniform(0.5, 20.0, (512,)).astype(np.float32))
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, tmax)
+        got = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, tmax, smin, smax,
+            bundle_size=128, interpret=True, cull="interval",
+            presorted=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
