@@ -551,19 +551,24 @@ def _hier_sort_key(o, d, tn, tx, clusters, sc_min, sc_max, m,
               | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
     extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    diag = jnp.linalg.norm(scene_max - scene_min)
     q = jnp.clip((o - scene_min) / extent, 0.0, 0.999)
     ocell = (q * 32.0).astype(jnp.uint32)
     o_morton = (_expand_bits(ocell[:, 0], 5)
                 | (_expand_bits(ocell[:, 1], 5) << 1)
                 | (_expand_bits(ocell[:, 2], 5) << 2))
-    tie = (octant << 15) | o_morton  # 18 bits
+    # t_max bucket first, as in _cand0_sort_key: short rays bundle
+    # together so bounded shadow batches don't inherit long-ray unions
+    t_bucket = jnp.clip(
+        (4.0 * tx / jnp.maximum(diag, 1e-12)).astype(jnp.uint32), 0, 3)
+    tie = (t_bucket << 18) | (octant << 15) | o_morton  # 20 bits
 
     bits_c = max((c + 1).bit_length(), 1)
     tie_bits = max(32 - bits_c, 0)
-    if tie_bits >= 18:
-        tie_part = tie << (tie_bits - 18)
+    if tie_bits >= 20:
+        tie_part = tie << (tie_bits - 20)
     else:
-        tie_part = tie >> (18 - tie_bits)
+        tie_part = tie >> (20 - tie_bits)
     return (cand0 << tie_bits) | tie_part
 
 
