@@ -112,8 +112,24 @@ def main():
                           group=8 if big else 4, k_cand=256,
                           presorted=False),
         }
+        # shadow-like class: Z-coherent tile origins (reuse the primary
+        # grid origins offset into the scene) but scattered bounded
+        # directions toward a handful of light points — the production
+        # presorted="shadow" shape (bridge visibility rays)
+        lights_p = rng.uniform(lo, hi, (8, 3)).astype(np.float32)
+        surf_o = np.asarray(pri.origin) + 0.5 * np.asarray(pri.direction) \
+            * np.linalg.norm(hi - lo)
+        surf_o = np.clip(surf_o, lo, hi).astype(np.float32)
+        pick = rng.integers(0, 8, (n,))
+        to_l = lights_p[pick] - surf_o
+        dist = np.linalg.norm(to_l, axis=1, keepdims=True)
+        d_sh = jnp.asarray(to_l / np.maximum(dist, 1e-6))
+        o_sh = jnp.asarray(surf_o)
+        tx_sh = jnp.asarray((dist[:, 0] * (1 - 1e-3)).astype(np.float32))
+        shapes["shadow-z"] = dict(shapes["incoh"], presorted=True)
         batches = {
             "pri-z": (pri.origin, pri.direction, pri.t_min, pri.t_max),
+            "shadow-z": (o_sh, d_sh, 1e-3, tx_sh),
             "incoh": (o_inc, d_inc, 1e-3, tmax_inc),
         }
         print(f"cluster_size={cluster_size} tris={scene.tri_v0.shape[0]} "
@@ -126,13 +142,21 @@ def main():
 
         for cls, (o, d, tn, tx) in batches.items():
             kw = shapes[cls]
+            # the shadow class is an any-hit workload in production
+            if cls == "shadow-z":
+                def tracefn(*a, **k):
+                    return ptm.occluded_bundle_pallas(*a, **k)
+            else:
+                def tracefn(*a, **k):
+                    return ptm.closest_hit_bundle_pallas(
+                        a[0], scene.tri_geometry, scene.tri_primitive,
+                        *a[1:], **k)
             dt_prep = timed(
                 prep_jit, clusters, o, d, tn, tx, smin, smax,
                 bundle_size=kw["bundle_size"], presorted=kw["presorted"],
                 k_cand=kw["k_cand"], t_cap=True)
             dt_full = timed(
-                ptm.closest_hit_bundle_pallas, clusters,
-                scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                tracefn, clusters, o, d, tn, tx,
                 smin, smax, interpret=args.interpret, **kw)
             print(f"  {cls}: prep {dt_prep*1e3:8.1f} ms | full "
                   f"{dt_full*1e3:8.1f} ms | walk+fin "
@@ -143,8 +167,7 @@ def main():
             # lists, no overflow; tight for coherent bundles
             iv = "interval" if kw["presorted"] else "exact_iv"
             dt_iv = timed(
-                ptm.closest_hit_bundle_pallas, clusters,
-                scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                tracefn, clusters, o, d, tn, tx,
                 smin, smax, cull=iv, interpret=args.interpret, **kw)
             print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
                   f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
