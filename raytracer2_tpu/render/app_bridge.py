@@ -104,13 +104,22 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
         # C=145) keep the round-2 tuning.
         big = clusters.num_clusters >= 512
         by_sort = {  # presorted -> kernel shape
+            # pixel-tile primaries: interval cull ([B, C] bundle slab,
+            # full-length lists) replaces the dense per-ray [N, C] pass.
+            # Walk-step telemetry is IDENTICAL to the exact cull on
+            # Z-order tiles (401 vs 407 steps / 832 bundles, cand mean
+            # 4.5 vs 4.6 — scripts/trace_decomp.py), so the dense pass
+            # is pure savings here.
             True: dict(bundle_size=256 if big else 128, mb=8, group=4,
-                       k_cand=256),
+                       k_cand=256, cull="interval"),
             False: dict(bundle_size=128, mb=16 if big else 8,
                         group=8 if big else 4, k_cand=256),
             # Z-presorted shadow batches (bridge visibility rays): tile
             # origins but scattered directions — keep the tight
-            # incoherent bundle shape while skipping the runtime sort
+            # incoherent bundle shape while skipping the runtime sort.
+            # NOT interval: direction intervals spanning zero balloon
+            # the bundle unions (measured 12x slower, trace_decomp
+            # shadow-z class)
             "shadow": dict(bundle_size=128, mb=16 if big else 8,
                            group=8 if big else 4, k_cand=256),
         }
