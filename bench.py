@@ -55,6 +55,18 @@ def _build(scene_kind: str, width: int, height: int, backend: str,
                 segments=12, pillars_per_side=8, lat=12, lon=16))
             cam = default_camera(window_size=(width, height),
                                  position=(0, 4, 60), direction=(0, 0, 1))
+        elif scene_kind == "duck":
+            # BASELINE config 2: ~10k-tri textured object class
+            proc.write_glb(p, proc.sphere_grid_glb(
+                n=2, lat=28, lon=40, emissive_every=4, textured=True))
+            cam = default_camera(window_size=(width, height),
+                                 position=(0, 1.5, -7), direction=(0, 0, -1))
+        elif scene_kind == "emissive":
+            # BASELINE config 4: 1k+ area lights (reservoir sampling +
+            # PDF-mip presample stress)
+            proc.write_glb(p, proc.emissive_stress_glb(num_lights=1024))
+            cam = default_camera(window_size=(width, height),
+                                 position=(0, 12, -55), direction=(0, 0, -1))
         else:
             proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
             cam = default_camera(window_size=(width, height),
@@ -233,6 +245,78 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     return out
 
 
+def run_flythrough(width: int = 3840, height: int = 2160,
+                   frames: int = 3, scene_kind: str = "ladder",
+                   backend: str = "auto") -> dict:
+    """BASELINE config 5: 4K camera fly-through through the full ReSTIR
+    DI+GI pipeline with post-process/tonemap and temporal accumulation.
+    The camera dollies forward each frame (app.py --orbit analogue), so
+    view/prev_view and motion vectors are exercised for real."""
+    import dataclasses  # noqa: F401
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import init_frame_state, render_frame
+    from raytracer2_tpu.scene.camera import default_camera
+    from raytracer2_tpu.utils.profiler import count_frame_rays
+
+    scene, renderer, cam = _build(scene_kind, width, height, backend)
+    g_const = default_gconst(
+        cam.planar_view_constants(),
+        renderer.scene_lights.num_local_lights)
+    g_const = g_const.replace(enable_restir_di=1, enable_accumulation=1)
+    state = init_frame_state(width, height)
+
+    def view_at(i):
+        # dolly forward along the corridor axis
+        return default_camera(
+            window_size=(width, height),
+            position=(0, 4, 90 - 2.0 * i),
+            direction=(0, 0, 1)).planar_view_constants()
+
+    fn = jax.jit(lambda g, s: render_frame(renderer, g, s))
+    prev = g_const.view
+    # warm-up/compile on frame 0
+    v0 = view_at(0)
+    state1, img = fn(g_const.replace(view=v0, prev_view=prev,
+                                     frame=jnp.uint32(0)), state)
+    jax.block_until_ready(img)
+
+    times = []
+    prev = v0
+    st = state1
+    for i in range(1, frames + 1):
+        v = view_at(i)
+        g = g_const.replace(view=v, prev_view=prev, frame=jnp.uint32(i))
+        t0 = time.perf_counter()
+        st, img = fn(g, st)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+        prev = v
+    arr = np.asarray(times) * 1e3
+    rays = int(count_frame_rays(g_const, width, height))
+    p50 = float(np.percentile(arr, 50))
+    out = {
+        "p50_ms": round(p50, 2),
+        "mean_ms": round(float(arr.mean()), 2),
+        "frames": frames,
+        "resolution": f"{width}x{height}",
+        "rays_per_frame": rays,
+        "mrays_nominal": round(rays / (p50 / 1e3) / 1e6, 3),
+        "accumulation": True,
+        "scene": scene_kind,
+        "triangles": int(scene.num_triangles),
+        "platform": jax.default_backend(),
+    }
+    img_np = np.asarray(img)
+    out["image_finite"] = bool(np.isfinite(img_np).all())
+    return out
+
+
 def run_rmse(size: int = 256, restir_frames: int = 400,
              oracle_frames: int = 128, oracle_spp: int = 16,
              backend: str = "auto") -> dict:
@@ -391,8 +475,11 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="only the 256x256 round-1-comparable config")
     parser.add_argument("--mode", default="all",
+                        # also: duck | emissive | flythrough (BASELINE
+                        # ladder configs 2/4/5)
                         choices=["all", "reference", "pipeline", "rmse",
-                                 "scaling", "_scaling_inner"])
+                                 "scaling", "duck", "emissive",
+                                 "flythrough", "_scaling_inner"])
     parser.add_argument("--per-pass", action="store_true", default=None,
                         help="per-pass breakdown in pipeline mode "
                              "(default on for full runs)")
@@ -531,9 +618,41 @@ def main():
                 frames=args.frames or 2,
                 scene_kind=args.scene or "corridor") \
                 if args.mode == "scaling" else attempt(run_scaling)
+        if args.mode in ("all", "duck"):
+            # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
+            detail["duck"] = attempt(run_reference, **ref_cfg(
+                width=args.width or 512, height=args.height or 512,
+                spp=args.spp or 4, bounces=args.bounces or 3,
+                frames=args.frames or 4, scene_kind="duck"))
+        if args.mode in ("all", "emissive"):
+            # BASELINE config 4: 1k+ area lights through the DI
+            # reservoir path (presample + PDF mips built at renderer
+            # creation)
+            detail["emissive"] = attempt(
+                run_pipeline,
+                width=args.width or 1920, height=args.height or 1080,
+                frames=args.frames or 4, scene_kind="emissive",
+                backend=args.backend, per_pass=False, enable_di=True)
+        if args.mode in ("all", "flythrough"):
+            # BASELINE config 5: 4K fly-through, DI+GI + accumulation
+            detail["flythrough_4k"] = attempt(
+                run_flythrough,
+                width=args.width or 3840, height=args.height or 2160,
+                frames=args.frames or 3,
+                scene_kind=args.scene or "ladder",
+                backend=args.backend)
         if args.mode == "scaling":
             headline = ("cpu_mesh_halo_8dev_frame_ms",
                         detail["scaling"].get("halo_8dev_ms", 0.0))
+        elif args.mode == "duck":
+            headline = ("duck_reference_mrays_per_sec_per_chip",
+                        detail["duck"].get("mrays_nominal", 0.0))
+        elif args.mode == "emissive":
+            headline = ("emissive_restir_di_p50_frame_ms",
+                        detail["emissive"].get("p50_ms", 0.0))
+        elif args.mode == "flythrough":
+            headline = ("flythrough_4k_p50_frame_ms",
+                        detail["flythrough_4k"].get("p50_ms", 0.0))
         elif args.mode == "rmse":
             headline = ("restir_di_display_rmse_vs_oracle",
                         detail["rmse"].get("rmse", 1.0))

@@ -241,11 +241,15 @@ def cornell_box_glb(light_emission: float = 1.0, box_size: float = 5.0,
 
 
 def sphere_grid_glb(n: int = 3, lat: int = 24, lon: int = 32,
-                    emissive_every: int = 0) -> bytes:
+                    emissive_every: int = 0,
+                    textured: bool = False) -> bytes:
     """n x n grid of ~(2*lat*lon)-triangle spheres (BASELINE config 2 scale);
-    every `emissive_every`-th sphere is a light when nonzero."""
+    every `emissive_every`-th sphere is a light when nonzero.
+    textured=True adds a checkerboard base-color texture to the floor and
+    every third sphere (config 2's "textured shading")."""
     b = GlbBuilder()
     rng = np.random.default_rng(7)
+    tex = b.add_texture_png(checkerboard_png()) if textured else None
     for i in range(n):
         for j in range(n):
             k = i * n + j
@@ -253,13 +257,15 @@ def sphere_grid_glb(n: int = 3, lat: int = 24, lon: int = 32,
             if emissive_every and k % emissive_every == 0:
                 mat = b.add_material(base_color=color, emissive=(4.0, 3.5, 3.0))
             else:
-                mat = b.add_material(base_color=color,
-                                     metallic=float(rng.uniform(0, 1)))
+                mat = b.add_material(
+                    base_color=color,
+                    metallic=float(rng.uniform(0, 1)),
+                    texture_index=tex if textured and k % 3 == 1 else None)
             pos, nrm, uvs, idx = uv_sphere(0.8, lat, lon)
             mesh = b.add_mesh(pos, nrm, idx, mat, uvs=uvs)
             b.add_node(mesh, translation=(i * 2.0 - n + 1, 0.0, j * 2.0 - n + 1))
     # ground plane (+y normal)
-    g = b.add_material(base_color=(0.8, 0.8, 0.8, 1.0))
+    g = b.add_material(base_color=(0.8, 0.8, 0.8, 1.0), texture_index=tex)
     pos, nrm, uvs, idx = quad([-n * 2, -0.9, -n * 2],
                               [0, 0, 4 * n], [4 * n, 0, 0])
     b.add_node(b.add_mesh(pos, nrm, idx, g, uvs=uvs))
