@@ -116,6 +116,19 @@ def main():
 
     for cls, (o, d, tn, tx) in batches.items():
         kw = dict(shapes[cls])
+        # if the MXU path wins, the VPU budget frees up — check whether
+        # a wider group then pays (more clusters per step, fewer steps)
+        g_wide = min(kw["group"] * 2, 1024 // 128)  # SLOT_BITS cap
+        if g_wide > kw["group"]:
+            wide = dict(kw, group=g_wide)
+            dt_w = timed(
+                ptm.closest_hit_bundle_pallas, clusters,
+                scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
+                smin, smax, mm=True, t_cap=True,
+                interpret=args.interpret, **wide)
+            print(f"{cls} mm=1 t_cap=1 group={g_wide}: closest "
+                  f"{dt_w*1e3:8.1f} ms ({n/dt_w/1e6:6.2f} Mr/s)",
+                  flush=True)
         for mm in (False, True):
             for t_cap in (False, True):
                 dt_c = timed(
