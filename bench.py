@@ -540,6 +540,23 @@ def main():
                 print(f"bench stage failed: {e2!r}"[:500], file=sys.stderr)
                 return {"error": f"{type(e2).__name__}: {e2}"[:200]}
 
+    def provisional():
+        # checkpoint line after every completed stage: if a later (slow)
+        # stage is cut short by an external timeout, the last complete
+        # stdout line still carries the headline metric + all finished
+        # stage details
+        if args.mode != "all":
+            return
+        v = detail.get("ladder", {}).get("mrays_nominal")
+        if v is None:
+            return
+        print(json.dumps({
+            "metric": "ladder_reference_mrays_per_sec_per_chip",
+            "value": v, "unit": "Mrays/s",
+            "vs_baseline": round(v / BASELINE_MRAYS, 4),
+            "detail": dict(detail, provisional=True),
+        }), flush=True)
+
     if args.smoke:
         detail["quick"] = attempt(run_reference, **ref_cfg(
             width=64, height=64, spp=1, bounces=2, frames=2,
@@ -560,17 +577,7 @@ def main():
             detail["ladder"] = attempt(run_reference, **ref_cfg(
                 width=1920, height=1080, spp=8, bounces=5, frames=2,
                 scene_kind="ladder"))
-            if args.mode == "all" and "mrays_nominal" in detail["ladder"]:
-                # provisional line: if the (slow) pipeline stage is cut
-                # short by an external timeout, the last complete stdout
-                # line still carries the headline metric
-                v = detail["ladder"]["mrays_nominal"]
-                print(json.dumps({
-                    "metric": "ladder_reference_mrays_per_sec_per_chip",
-                    "value": v, "unit": "Mrays/s",
-                    "vs_baseline": round(v / BASELINE_MRAYS, 4),
-                    "detail": dict(detail, provisional=True),
-                }), flush=True)
+            provisional()
         if args.mode in ("all", "pipeline"):
             topts = {}
             for kv in args.tracer_opt:
@@ -604,8 +611,10 @@ def main():
                 scene_kind=args.scene or "ladder",
                 backend=args.backend, per_pass=False, enable_di=True,
                 tracer_opts=topts)
+            provisional()
         if args.mode in ("all", "rmse"):
             detail["rmse"] = attempt(run_rmse, backend=args.backend)
+            provisional()
         if args.mode == "_scaling_inner":
             print(json.dumps(_run_scaling_inner(
                 args.width or 64, args.height or 64, args.frames or 2,
@@ -618,12 +627,14 @@ def main():
                 frames=args.frames or 2,
                 scene_kind=args.scene or "corridor") \
                 if args.mode == "scaling" else attempt(run_scaling)
+            provisional()
         if args.mode in ("all", "duck"):
             # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
             detail["duck"] = attempt(run_reference, **ref_cfg(
                 width=args.width or 512, height=args.height or 512,
                 spp=args.spp or 4, bounces=args.bounces or 3,
                 frames=args.frames or 4, scene_kind="duck"))
+            provisional()
         if args.mode in ("all", "emissive"):
             # BASELINE config 4: 1k+ area lights through the DI
             # reservoir path (presample + PDF mips built at renderer
@@ -633,6 +644,7 @@ def main():
                 width=args.width or 1920, height=args.height or 1080,
                 frames=args.frames or 4, scene_kind="emissive",
                 backend=args.backend, per_pass=False, enable_di=True)
+            provisional()
         if args.mode in ("all", "flythrough"):
             # BASELINE config 5: 4K fly-through, DI+GI + accumulation
             detail["flythrough_4k"] = attempt(
