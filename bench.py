@@ -66,7 +66,8 @@ def _build(scene_kind: str, width: int, height: int, backend: str,
             # PDF-mip presample stress)
             proc.write_glb(p, proc.emissive_stress_glb(num_lights=1024))
             cam = default_camera(window_size=(width, height),
-                                 position=(0, 12, -55), direction=(0, 0, -1))
+                                 position=(0, 10, -52),
+                                 direction=(0, 0.25, -1))
         else:
             proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
             cam = default_camera(window_size=(width, height),
