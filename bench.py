@@ -272,11 +272,13 @@ def run_flythrough(width: int = 3840, height: int = 2160,
     g_const = g_const.replace(enable_restir_di=1, enable_accumulation=1)
     state = init_frame_state(width, height)
 
+    z0 = 90 if scene_kind == "ladder" else 60
+
     def view_at(i):
         # dolly forward along the corridor axis
         return default_camera(
             window_size=(width, height),
-            position=(0, 4, 90 - 2.0 * i),
+            position=(0, 4, z0 - 2.0 * i),
             direction=(0, 0, 1)).planar_view_constants()
 
     fn = jax.jit(lambda g, s: render_frame(renderer, g, s))
