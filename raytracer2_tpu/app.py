@@ -81,7 +81,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="clusters intersected per walk step")
     p.add_argument("--bundle-size", type=int, default=None,
                    help="rays per traversal bundle")
-    p.add_argument("--sort-key", default=None, choices=["cand0", "hier"],
+    p.add_argument("--sort-key", default=None, choices=["cand0", "hier", "octz"],
                    help="cull-order ray sort key (exact cull, unsorted "
                         "batches): cand0 = dense nearest-cluster, hier = "
                         "supercluster-refined (~1/32 the key cost)")

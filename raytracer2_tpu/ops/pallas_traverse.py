@@ -276,6 +276,25 @@ def _apply_t_cap(tx, cap):
     return jnp.minimum(tx, jnp.maximum(cap * 1.0001 + 1e-6, -1.0))
 
 
+def _octz_sort_key(d, tx, scene_min, scene_max):
+    """Dense-pass-free cull-order key for batches whose ARRIVAL order is
+    already spatially coherent (e.g. shadow rays pre-gathered in pixel
+    Z-curve order): direction octant | t_max bucket | arrival rank.
+    Splitting same-tile rays by octant + ray length nearly halves the
+    bundle-union walk work vs pure pixel order (measured 1552 -> 815
+    steps on the corridor shadow class) at the cost of one [N] u32
+    argsort — no per-ray dense pass, unlike the cand0 key."""
+    n = d.shape[0]
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    diag = jnp.linalg.norm(scene_max - scene_min)
+    t_bucket = jnp.clip(
+        (4.0 * tx / jnp.maximum(diag, 1e-12)).astype(jnp.uint32), 0, 3)
+    rank = jnp.arange(n, dtype=jnp.uint32) & jnp.uint32((1 << 27) - 1)
+    return (octant << 29) | (t_bucket << 27) | rank
+
+
 def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
     """Per-ray sort key: [nearest exactly-overlapped box id | morton
     tiebreak]. Boxes are cluster AABBs (exact cull) or supercluster AABBs
@@ -436,6 +455,9 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
             sc_min, sc_max = _supercluster_boxes(clusters, m_key)
             key = _hier_sort_key(origins, directions, t_min, t_max_a,
                                  clusters, sc_min, sc_max, m_key,
+                                 scene_min, scene_max)
+        elif sort_key == "octz":
+            key = _octz_sort_key(directions, t_max_a,
                                  scene_min, scene_max)
         else:
             key = _cand0_sort_key(origins, directions, t_min, t_max_a,

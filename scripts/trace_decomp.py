@@ -171,6 +171,17 @@ def main():
                 smin, smax, cull=iv, interpret=args.interpret, **kw)
             print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
                   f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
+            if cls == "shadow-z":
+                # octz: keep the exact cull but re-sort the Z-arrival
+                # batch by octant|t_bucket (cheap [N] key, no dense key
+                # pass; halves walk steps in interpret telemetry)
+                kw_oz = dict(kw, presorted=False)
+                dt_oz = timed(
+                    tracefn, clusters, o, d, tn, tx,
+                    smin, smax, sort_key="octz",
+                    interpret=args.interpret, **kw_oz)
+                print(f"  {cls}: sort_key=octz full {dt_oz*1e3:8.1f} ms "
+                      f"({n/dt_oz/1e6:6.2f} Mr/s)", flush=True)
             if not kw["presorted"]:
                 # hier sort key: SC-granularity dense pass for the cull
                 # sort (1/32 of the cand0 key cost), exact cull after

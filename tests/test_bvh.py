@@ -706,3 +706,53 @@ class TestIntervalCullPallas:
             presorted=True)
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
+
+
+class TestOctZSortKey:
+    """sort_key="octz": dense-pass-free cull-order key (octant | t_max
+    bucket | arrival rank) for coherently-arriving batches. The exact
+    cull is order-independent, so hits must match the oracle exactly."""
+
+    def test_occlusion_octz_parity_bounded(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import occluded_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=4)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=42, spread=5.0)
+        rng = np.random.default_rng(43)
+        tmax = jnp.asarray(rng.uniform(0.5, 20.0, (512,)).astype(np.float32))
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, tmax)
+        got = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, tmax, smin, smax,
+            bundle_size=128, interpret=True, sort_key="octz")
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
+
+    def test_closest_hit_octz_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=4)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=44, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            bundle_size=128, interpret=True, sort_key="octz")
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_array_equal(np.asarray(got.triangle_index)[m],
+                                      np.asarray(ref.triangle_index)[m])
