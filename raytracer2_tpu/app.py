@@ -81,6 +81,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="clusters intersected per walk step")
     p.add_argument("--bundle-size", type=int, default=None,
                    help="rays per traversal bundle")
+    p.add_argument("--shadow-order", default=None,
+                   choices=["pixz", "octz", "cand0"],
+                   help="visibility-batch ray ordering: pixz = static "
+                        "pixel-Z presort (no runtime sort), octz = "
+                        "octant|t-bucket cheap re-sort, cand0 = full "
+                        "nearest-cluster sort")
     p.add_argument("--sort-key", default=None, choices=["cand0", "hier", "octz"],
                    help="cull-order ray sort key (exact cull, unsorted "
                         "batches): cand0 = dense nearest-cluster, hier = "
@@ -184,6 +190,7 @@ def main(argv=None) -> int:
     tracer_opts = {k: v for k, v in dict(
         cull=args.cull, k_cand=args.k_cand, group=args.group,
         bundle_size=args.bundle_size, sort_key=args.sort_key,
+        shadow_order=args.shadow_order,
         cluster_size=args.cluster_size).items() if v is not None}
     renderer = create_renderer(scene, args.width, args.height,
                                use_bvh=not args.no_bvh,

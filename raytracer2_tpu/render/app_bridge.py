@@ -62,6 +62,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                  group: int | None = None,
                  bundle_size: int | None = None,
                  sort_key: str | None = None,
+                 shadow_order: str = "pixz",
                  ) -> Tracers:
     """Traversal backends:
     - "auto" (default): "bundle_pallas" on TPU, "bundle" elsewhere (the
@@ -131,30 +132,47 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             if val is not None:
                 for shapes in by_sort.values():
                     shapes[key] = val
+        # visibility-batch ray ordering (walk-step telemetry, corridor
+        # shadow class: pixz 1552 / octz 815 / cand0 495 steps — but
+        # octz needs only a [N] u32 argsort and cand0 a dense [N, C]
+        # key pass; the hardware A/B picks the default)
+        if shadow_order == "octz":
+            by_sort["shadow"]["sort_key"] = "octz"
+        elif shadow_order == "cand0":
+            by_sort["shadow"].pop("sort_key", None)
+        shadow_presorted = shadow_order == "pixz"
+
+        def _sortcfg(presorted):
+            # presorted="shadow" resolves to the configured shadow order:
+            # pixz keeps the arrival order (skip the runtime sort);
+            # octz/cand0 re-sort inside the tracer
+            if presorted == "shadow" and not shadow_presorted:
+                return False
+            return bool(presorted)
 
         def closest(o, d, tmin, tmax, presorted=False):
             return ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=bool(presorted), **by_sort[presorted])
+                presorted=_sortcfg(presorted), **by_sort[presorted])
 
         def occl(o, d, tmin, tmax, presorted=False):
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=bool(presorted), **by_sort[presorted])
+                presorted=_sortcfg(presorted), **by_sort[presorted])
 
         def probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.closest_hit_bundle_pallas(
                 clusters, scene.tri_geometry, scene.tri_primitive,
                 o, d, tmin, tmax, scene_min, scene_max,
-                presorted=bool(presorted), with_overflow=True,
+                presorted=_sortcfg(presorted), with_overflow=True,
                 **by_sort[presorted])
             return flag
 
         def occl_probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=bool(presorted), with_overflow=True,
+                presorted=_sortcfg(presorted), with_overflow=True,
                 **by_sort[presorted])
             return flag
 
