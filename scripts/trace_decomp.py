@@ -127,9 +127,47 @@ def main():
         o_sh = jnp.asarray(surf_o)
         tx_sh = jnp.asarray((dist[:, 0] * (1 - 1e-3)).astype(np.float32))
         shapes["shadow-z"] = dict(shapes["incoh"], presorted=True)
+        # realistic BRDF class: cosine-sampled bounce dirs from the real
+        # primary surfaces (what brdf_rays traces in production); random
+        # "incoh" overstates union inflation (hier key +51% steps on
+        # random rays but only +14% here)
+        from raytracer2_tpu.ops.traverse_bundle import closest_hit_bundle
+
+        hit = closest_hit_bundle(
+            clusters, scene.tri_geometry, scene.tri_primitive,
+            pri.origin, pri.direction, pri.t_min, pri.t_max,
+            smin, smax, sort_rays=False)
+        t_h = np.asarray(hit.t)
+        missed = np.asarray(hit.missed)
+        o_brdf = (np.asarray(pri.origin)
+                  + np.asarray(pri.direction) * t_h[:, None] * 0.999)
+        tri_h = np.where(missed, 0, np.asarray(hit.triangle_index))
+        e1 = np.asarray(scene.tri_edge1)[tri_h]
+        e2 = np.asarray(scene.tri_edge2)[tri_h]
+        nrm = np.cross(e1, e2)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+        d_in = np.asarray(pri.direction)
+        nrm = np.where((np.sum(nrm * d_in, axis=1) > 0)[:, None], -nrm, nrm)
+        u1, u2 = rng.uniform(size=(2, n)).astype(np.float32)
+        rr, phi = np.sqrt(u1), 2 * np.pi * u2
+        tang = np.cross(nrm, np.where(np.abs(nrm[:, 2:3]) < 0.9,
+                                      [0, 0, 1], [1, 0, 0]))
+        tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+        bit = np.cross(nrm, tang)
+        d_brdf = (tang * (rr * np.cos(phi))[:, None]
+                  + bit * (rr * np.sin(phi))[:, None]
+                  + nrm * np.sqrt(np.maximum(1 - u1, 0))[:, None])
+        d_brdf = (d_brdf
+                  / np.maximum(np.linalg.norm(d_brdf, axis=1,
+                                              keepdims=True), 1e-9)
+                  ).astype(np.float32)
+        tx_brdf = np.where(~missed, 1e5, -1.0).astype(np.float32)
+        shapes["brdf"] = dict(shapes["incoh"])
         batches = {
             "pri-z": (pri.origin, pri.direction, pri.t_min, pri.t_max),
             "shadow-z": (o_sh, d_sh, 1e-3, tx_sh),
+            "brdf": (jnp.asarray(o_brdf), jnp.asarray(d_brdf),
+                     1e-3, jnp.asarray(tx_brdf)),
             "incoh": (o_inc, d_inc, 1e-3, tmax_inc),
         }
         print(f"cluster_size={cluster_size} tris={scene.tri_v0.shape[0]} "
@@ -165,12 +203,13 @@ def main():
             # interval cull: [B, C] bundle-granularity slab test instead
             # of the dense per-ray [N, C] pass — full-length candidate
             # lists, no overflow; tight for coherent bundles
-            iv = "interval" if kw["presorted"] else "exact_iv"
-            dt_iv = timed(
-                tracefn, clusters, o, d, tn, tx,
-                smin, smax, cull=iv, interpret=args.interpret, **kw)
-            print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
-                  f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
+            if kw["presorted"] or cls == "incoh":
+                iv = "interval" if kw["presorted"] else "exact_iv"
+                dt_iv = timed(
+                    tracefn, clusters, o, d, tn, tx,
+                    smin, smax, cull=iv, interpret=args.interpret, **kw)
+                print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
+                      f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
             if cls == "shadow-z":
                 # octz: keep the exact cull but re-sort the Z-arrival
                 # batch by octant|t_bucket (cheap [N] key, no dense key
