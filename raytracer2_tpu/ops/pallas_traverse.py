@@ -427,13 +427,15 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
 
 def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
                            scene_min, scene_max, bundle_size, presorted,
-                           k_cand, t_cap=True, sort_key="cand0"):
+                           k_cand, t_cap=False, sort_key="cand0"):
     """Exact-cull prep: per-ray slab tests, cand0 ray sort, per-bundle
     union candidate lists ranked nearest-first (module docstring).
     t_cap=True additionally clamps each ray's t_max to its farthest
-    overlapped-cluster exit (_entry_exact_cap) — free (the dense pass
-    already computes far) and it stops far-miss rays from holding their
-    bundle's early exit open for the whole candidate union.
+    overlapped-cluster exit (_entry_exact_cap). Default OFF: on v5e the
+    cap's extra far-exit reduction adds real HBM traffic to the dense
+    pass (+14% incoherent, +2.2x on coherent rays) while the walk-step
+    saving measured ~1% (47.9k -> 47.4k steps on the ladder scene) —
+    prep, not the walk, is where the trace time lives (trace_ab r3).
     sort_key="hier" computes the cull-order key at supercluster
     granularity + a per-SC refine (_hier_sort_key): ~1/m_super of the
     cand0 key's dense [N, C] pass, <0.1% key mismatch (the CANDIDATE
@@ -480,8 +482,13 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
 
     def one(args):
         oo, dd, tnn, txx = args  # [cb*p, ...]
-        e, cap = _entry_exact_cap(oo, dd, tnn, txx,
-                                  clusters.aabb_min, clusters.aabb_max)
+        if t_cap:
+            e, cap = _entry_exact_cap(oo, dd, tnn, txx,
+                                      clusters.aabb_min, clusters.aabb_max)
+        else:
+            e = _entry_exact(oo, dd, tnn, txx,
+                             clusters.aabb_min, clusters.aabb_max)
+            cap = jnp.zeros(oo.shape[:1], jnp.float32)
         ue = jnp.min(e.reshape(cb, p, c), axis=1)  # [cb, C] union entry
         n_union = jnp.sum(jnp.isfinite(ue), axis=-1)
         neg_t, idx = jax.lax.top_k(-ue, k)  # nearest-first
@@ -806,7 +813,7 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
 
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-          bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=True,
+          bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=False,
           sort_key="cand0"):
     """Returns (..., overflowed): overflowed is a device bool scalar, True
     when some bundle's true candidate union exceeded k_cand (exact/hier
@@ -1332,7 +1339,7 @@ def occluded_bundle_pallas(
     mb: int = 8,
     overflow_fallback: bool = True,
     mm: bool = False,
-    t_cap: bool = True,
+    t_cap: bool = False,
     debug_steps: bool = False,
     sort_key: str = "cand0",
 ) -> jax.Array:
@@ -1425,7 +1432,7 @@ def closest_hit_bundle_pallas(
     mb: int = 8,
     overflow_fallback: bool = True,
     mm: bool = False,
-    t_cap: bool = True,
+    t_cap: bool = False,
     debug_steps: bool = False,
     sort_key: str = "cand0",
 ) -> HitRecord:
@@ -1442,10 +1449,12 @@ def closest_hit_bundle_pallas(
     unless taken; correct tunings never take it (tests force it with a
     tiny k_cand).
 
-    mm=True: Wald affines as MXU dots (_intersect_block_mm).
-    t_cap=True (default): clamp per-ray t_max to the farthest
-    overlapped-cluster exit (_entry_exact_cap — free, provably hit-safe).
-    debug_steps=True: measurement mode — returns (result, {steps [b],
+    mm=True: Wald affines as MXU dots (_intersect_block_mm) — measured
+    0.6-0.8x on v5e (HIGHEST-precision f32 dots on a bf16 MXU plus the
+    per-bundle operand build outrun the VPU FMA saving; trace_ab r3),
+    kept for A/B. t_cap=True: clamp per-ray t_max to the farthest
+    overlapped-cluster exit (hit-safe but a measured loss — see
+    _prepare_bundles_exact). debug_steps=True: measurement mode — returns (result, {steps [b],
     cand_count [b], overflowed}) and skips the fallback branch."""
     sp = _s_pad(clusters)
     if cull == "sc":
