@@ -368,11 +368,16 @@ def _rank_rows(cand_idx, cand_t, b, kp):
 
 def _prepare_bundles(clusters, origins, directions, t_min, t_max,
                      scene_min, scene_max, bundle_size, presorted,
-                     exact_key=False):
+                     exact_key=False, k_cand=256):
     """Interval-union prep: per-bundle candidate lists from the
-    conservative interval slab test over ALL clusters — full length, so
-    no truncation/overflow path exists (the front-to-back early exit
-    bounds the WORK, never correctness).
+    conservative interval slab test over ALL clusters, ranked
+    nearest-first by top_k(k_cand) — NOT a full-length argsort: ranking
+    all C entries per bundle measured 410 ms vs 152 ms for the whole
+    exact trace on the 1080p/260k-tri primary class (trace_decomp r3.3,
+    the argsort + kp=C candidate rows dominate), while coherent-tile
+    unions average ~5 clusters. Truncation is reported via the returned
+    overflow flag and covered by the same XLA-walk fallback the exact
+    cull uses.
 
     exact_key=False is the round-1 octant|morton ray sort (cull=
     "interval"). exact_key=True (cull="exact_iv") sorts rays by their
@@ -413,16 +418,20 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
         o_min, o_max, inv_lo, inv_hi, bundle_tmax,
         clusters.aabb_min, clusters.aabb_max)
     entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
-    order = jnp.argsort(entry, axis=-1)
-    cand_t = jnp.take_along_axis(entry, order, axis=-1)
-    cand_idx = order.astype(jnp.int32)
-    cand_count = jnp.sum(jnp.isfinite(cand_t), axis=-1).astype(jnp.int32)
+    c = entry.shape[1]
+    k = min(k_cand, c)
+    neg_t, idx = jax.lax.top_k(-entry, k)  # nearest-first
+    cand_t = -neg_t
+    cand_idx = idx.astype(jnp.int32)
+    n_union = jnp.sum(jnp.isfinite(entry), axis=-1)
+    cand_count = jnp.minimum(
+        jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
+    overflowed = jnp.any(n_union > k)
 
-    k = cand_idx.shape[1]
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
     return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
-            n, b, kp, t_max_a)
+            n, b, kp, t_max_a, overflowed)
 
 
 def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
@@ -816,11 +825,10 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
           bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=False,
           sort_key="cand0"):
     """Returns (..., overflowed): overflowed is a device bool scalar, True
-    when some bundle's true candidate union exceeded k_cand (exact/hier
-    culls truncate — rays whose closest hit lives in a dropped cluster
-    would FALSELY MISS). The public entry points surface it on request
-    (VERDICT r2 #4: no silent-miss path); the interval culls keep
-    full-length lists and can never overflow."""
+    when some bundle's true candidate union exceeded k_cand (rays whose
+    closest hit lives in a dropped cluster would FALSELY MISS). The
+    public entry points surface it on request and re-trace through the
+    XLA walk when it fires (VERDICT r2 #4: no silent-miss path)."""
     if cull == "auto":
         # "hier" stays experimental: its per-bundle k_sc supercluster
         # truncation measured 3-10% false misses on a 260k-tri scene (the
@@ -840,10 +848,10 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
             clusters, origins, directions, t_min, t_max, scene_min,
             scene_max, bundle_size, presorted, k_cand, t_cap=t_cap,
             sort_key=sort_key)
-    out = _prepare_bundles(
+    return _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
-        bundle_size, presorted, exact_key=(cull == "exact_iv"))
-    return out + (jnp.asarray(False),)
+        bundle_size, presorted, exact_key=(cull == "exact_iv"),
+        k_cand=k_cand)
 
 
 def _grid_spec(b, p, kp, sp, group, depth, out_rows, mb):
@@ -1390,7 +1398,7 @@ def occluded_bundle_pallas(
         # measurement mode: per-bundle walk telemetry, no fallback branch
         return blocked, {"steps": steps, "cand_count": cand_count[:b],
                          "overflowed": overflowed}
-    if overflow_fallback and cull in ("auto", "exact", "hier"):
+    if overflow_fallback and cull != "sc":
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
         blocked = jax.lax.cond(
@@ -1550,7 +1558,7 @@ def closest_hit_bundle_pallas(
         # measurement mode: per-bundle walk telemetry, no fallback branch
         return rec, {"steps": steps, "cand_count": cand_count[:b],
                      "overflowed": overflowed}
-    if overflow_fallback and cull in ("auto", "exact", "hier"):
+    if overflow_fallback and cull != "sc":
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
         rec = jax.lax.cond(

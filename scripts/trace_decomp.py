@@ -192,7 +192,7 @@ def main():
             dt_prep = timed(
                 prep_jit, clusters, o, d, tn, tx, smin, smax,
                 bundle_size=kw["bundle_size"], presorted=kw["presorted"],
-                k_cand=kw["k_cand"], t_cap=True)
+                k_cand=kw["k_cand"], t_cap=False)
             dt_full = timed(
                 tracefn, clusters, o, d, tn, tx,
                 smin, smax, interpret=args.interpret, **kw)
@@ -207,7 +207,8 @@ def main():
                 iv = "interval" if kw["presorted"] else "exact_iv"
                 dt_iv = timed(
                     tracefn, clusters, o, d, tn, tx,
-                    smin, smax, cull=iv, interpret=args.interpret, **kw)
+                    smin, smax, cull=iv, overflow_fallback=False,
+                    interpret=args.interpret, **kw)
                 print(f"  {cls}: cull={iv} full {dt_iv*1e3:8.1f} ms "
                       f"({n/dt_iv/1e6:6.2f} Mr/s)", flush=True)
             if cls == "shadow-z":
@@ -227,7 +228,7 @@ def main():
                 dt_hk = timed(
                     ptm.closest_hit_bundle_pallas, clusters,
                     scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
-                    smin, smax, sort_key="hier",
+                    smin, smax, sort_key="hier", overflow_fallback=False,
                     interpret=args.interpret, **kw)
                 print(f"  {cls}: sort_key=hier full {dt_hk*1e3:8.1f} ms "
                       f"({n/dt_hk/1e6:6.2f} Mr/s)", flush=True)
