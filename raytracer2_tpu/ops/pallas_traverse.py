@@ -368,7 +368,7 @@ def _rank_rows(cand_idx, cand_t, b, kp):
 
 def _prepare_bundles(clusters, origins, directions, t_min, t_max,
                      scene_min, scene_max, bundle_size, presorted,
-                     exact_key=False, k_cand=256):
+                     exact_key=False, k_cand=256, sort_key="morton"):
     """Interval-union prep: per-bundle candidate lists from the
     conservative interval slab test over ALL clusters, ranked
     nearest-first by top_k(k_cand) — NOT a full-length argsort: ranking
@@ -401,6 +401,9 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
             key = _cand0_sort_key(origins, directions, t_min, t_max_a,
                                   clusters.aabb_min, clusters.aabb_max,
                                   scene_min, scene_max)
+            perm = jnp.argsort(key)
+        elif sort_key == "octz":
+            key = _octz_sort_key(directions, t_max_a, scene_min, scene_max)
             perm = jnp.argsort(key)
         else:
             perm = sort_rays_for_coherence(origins, directions,
@@ -851,7 +854,7 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
     return _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"),
-        k_cand=k_cand)
+        k_cand=k_cand, sort_key=sort_key)
 
 
 def _grid_spec(b, p, kp, sp, group, depth, out_rows, mb):

@@ -222,6 +222,18 @@ def main():
                     interpret=args.interpret, **kw_oz)
                 print(f"  {cls}: sort_key=octz full {dt_oz*1e3:8.1f} ms "
                       f"({n/dt_oz/1e6:6.2f} Mr/s)", flush=True)
+            if cls in ("shadow-z", "brdf"):
+                # octz-sorted INTERVAL cull: bundles share an octant +
+                # t bucket so the direction intervals don't span zero —
+                # drops the dense [N, C] pass entirely if unions hold
+                kw_oi = dict(kw, presorted=False)
+                dt_oi = timed(
+                    tracefn, clusters, o, d, tn, tx,
+                    smin, smax, sort_key="octz", cull="interval",
+                    overflow_fallback=False,
+                    interpret=args.interpret, **kw_oi)
+                print(f"  {cls}: octz+interval full {dt_oi*1e3:8.1f} ms "
+                      f"({n/dt_oi/1e6:6.2f} Mr/s)", flush=True)
             if not kw["presorted"]:
                 # hier sort key: SC-granularity dense pass for the cull
                 # sort (1/32 of the cand0 key cost), exact cull after
