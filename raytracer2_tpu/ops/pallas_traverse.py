@@ -429,7 +429,7 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
     n_union = jnp.sum(jnp.isfinite(entry), axis=-1)
     cand_count = jnp.minimum(
         jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
-    overflowed = jnp.any(n_union > k)
+    overflowed = n_union > k  # per-bundle [B]
 
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
@@ -503,6 +503,13 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
             cap = jnp.zeros(oo.shape[:1], jnp.float32)
         ue = jnp.min(e.reshape(cb, p, c), axis=1)  # [cb, C] union entry
         n_union = jnp.sum(jnp.isfinite(ue), axis=-1)
+        if k >= c:
+            # full-length lists (the overflow fallback's k_cand=C
+            # sub-trace): top_k(k=C) measured 427 ms on [32, 3072] rows
+            # while a plain argsort is ~2 ms — top_k cost scales with k
+            idx = jnp.argsort(ue, axis=-1).astype(jnp.int32)
+            sorted_t = jnp.take_along_axis(ue, idx, axis=-1)
+            return sorted_t, idx, n_union.astype(jnp.int32), cap
         neg_t, idx = jax.lax.top_k(-ue, k)  # nearest-first
         return -neg_t, idx.astype(jnp.int32), n_union.astype(jnp.int32), cap
 
@@ -522,7 +529,7 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
 
     cand_count = jnp.minimum(
         jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
-    overflowed = jnp.any(n_union > k)
+    overflowed = n_union > k  # per-bundle [B]
 
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
@@ -732,7 +739,7 @@ def _prepare_bundles_hier(clusters, origins, directions, t_min, t_max,
 
     cand_count = jnp.minimum(
         jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)
-    overflowed = jnp.any(n_union > k) | jnp.any(sc_dropped)
+    overflowed = (n_union > k) | sc_dropped  # per-bundle [B]
 
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
@@ -821,17 +828,19 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
     kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
     cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t, b, kp)
     return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t, cand_count,
-            n, b, kp, t_max_a, jnp.asarray(False))
+            n, b, kp, t_max_a, jnp.zeros((b,), jnp.bool_))
 
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
           bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=False,
           sort_key="cand0"):
-    """Returns (..., overflowed): overflowed is a device bool scalar, True
-    when some bundle's true candidate union exceeded k_cand (rays whose
-    closest hit lives in a dropped cluster would FALSELY MISS). The
-    public entry points surface it on request and re-trace through the
-    XLA walk when it fires (VERDICT r2 #4: no silent-miss path)."""
+    """Returns (..., overflowed): overflowed is a per-bundle [B] device
+    bool vector, True where that bundle's true candidate union exceeded
+    k_cand (rays whose closest hit lives in a dropped cluster would
+    FALSELY MISS). The public entry points surface jnp.any(it) on
+    request and re-trace ONLY the overflowed bundles through the XLA
+    walk when it fires (VERDICT r2 #4: no silent-miss path) — a handful
+    of horizon-crossing tiles must not trigger a full-batch retrace."""
     if cull == "auto":
         # "hier" stays experimental: its per-bundle k_sc supercluster
         # truncation measured 3-10% false misses on a 260k-tri scene (the
@@ -855,6 +864,32 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"),
         k_cand=k_cand, sort_key=sort_key)
+
+
+FALLBACK_BUNDLES = 32
+
+
+def _ovf_ray_index(ovf_b, perm, p, n_orig, f):
+    """Original-space ray ids covering the first f overflowed bundles.
+
+    Sorted-space bundle bb covers sorted rows [bb*p, bb*p + p); rows
+    >= n_orig are bundle padding; perm maps sorted row -> original ray
+    id (None when the batch arrived presorted). Returns (oi [f*p] i32
+    original ids — invalid slots are redirected to n_orig so scatters
+    land on a discardable dummy row and can NEVER collide with a valid
+    slot's write (scatter order between duplicate indices is undefined,
+    and a stale duplicate would overwrite the fix); valid [f*p] bool;
+    cnt scalar i32 = total overflowed bundles). Gathers through oi rely
+    on JAX's out-of-bounds clamp for the n_orig sentinel."""
+    cnt = jnp.sum(ovf_b.astype(jnp.int32))
+    _, bidx = jax.lax.top_k(ovf_b.astype(jnp.int32), f)
+    slot_ok = jnp.arange(f, dtype=jnp.int32) < jnp.minimum(cnt, f)
+    j = bidx[:, None] * p + jnp.arange(p, dtype=jnp.int32)[None, :]
+    valid = (slot_ok[:, None] & (j < n_orig)).reshape(-1)
+    j = jnp.where(valid, j.reshape(-1), 0)
+    oi = perm[j] if perm is not None else j
+    oi = jnp.where(valid, oi, n_orig)
+    return oi, valid, cnt
 
 
 def _grid_spec(b, p, kp, sp, group, depth, out_rows, mb):
@@ -1328,7 +1363,8 @@ def _occlude_kernel(cand_count_ref,
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
-                                   "debug_steps", "sort_key"))
+                                   "debug_steps", "sort_key",
+                                   "fallback_bundles"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1353,6 +1389,8 @@ def occluded_bundle_pallas(
     t_cap: bool = False,
     debug_steps: bool = False,
     sort_key: str = "cand0",
+    fallback_bundles: int = FALLBACK_BUNDLES,
+    wald_rows: jax.Array | None = None,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -1371,7 +1409,15 @@ def occluded_bundle_pallas(
     else:
         group = max(1, min(group, (1 << SLOT_BITS) // sp))
         sc_m = 0
-        wald = _wald_rows_mm(clusters) if mm else _wald_rows(clusters)
+        # prebuilt rows (make_tracers builds them once per scene): the
+        # [C, 16, S_pad] re-layout measured ~53 ms/call on a 260k-tri
+        # scene — pure fixed cost when rebuilt inside every trace
+        if mm:
+            wald = _wald_rows_mm(clusters)
+        elif wald_rows is not None:
+            wald = wald_rows
+        else:
+            wald = _wald_rows(clusters)
     n_orig = origins.shape[0]
     (perm, o, d, tn, tx, _, cand_idx, cand_t, cand_count,
      n, b, kp, _, overflowed) = _prep(
@@ -1400,18 +1446,48 @@ def occluded_bundle_pallas(
     if debug_steps:
         # measurement mode: per-bundle walk telemetry, no fallback branch
         return blocked, {"steps": steps, "cand_count": cand_count[:b],
-                         "overflowed": overflowed}
+                         "overflowed": jnp.any(overflowed)}
     if overflow_fallback and cull != "sc":
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
-        blocked = jax.lax.cond(
-            overflowed,
-            lambda: tbm.occluded_bundle(
+        # bounded partial fallback: re-trace ONLY the overflowed bundles
+        # (a handful of horizon-crossing tiles, measured 6/8100 on the
+        # ladder scene) through the SAME Pallas kernel with k_cand =
+        # num_clusters — full-length candidate lists cannot truncate, so
+        # the sub-trace is exact by construction. A full-batch retrace
+        # here measured 1.84 s vs the kernel's 114 ms, and the XLA-walk
+        # sub-trace carries a ~460 ms fixed cost — a single bad bundle
+        # must not cost 16x. Full retrace only past fallback_bundles.
+        f = min(fallback_bundles, b)
+        tn_o = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+        tx_o = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+        def _partial_fix():
+            oi, valid, _ = _ovf_ray_index(overflowed, perm, p, n_orig, f)
+            sub = occluded_bundle_pallas(
+                clusters, origins[oi], directions[oi], tn_o[oi],
+                jnp.where(valid, tx_o[oi], -1.0), scene_min, scene_max,
+                bundle_size=p, interpret=interpret, presorted=True,
+                cull="exact", group=group if sc_m == 0 else 4,
+                k_cand=clusters.num_clusters, depth=depth, mb=mb,
+                overflow_fallback=False,
+                wald_rows=wald if not mm else None)
+            # invalid slots scatter to the dummy row n_orig (discarded)
+            ext = jnp.concatenate([blocked, blocked[:1]])
+            return ext.at[oi].set(sub)[:n_orig]
+
+        def _full_fix():
+            return tbm.occluded_bundle(
                 clusters, origins, directions, t_min, t_max,
-                scene_min, scene_max, sort_rays=not presorted),
-            lambda: blocked)
+                scene_min, scene_max, sort_rays=not presorted)
+
+        cnt = jnp.sum(overflowed.astype(jnp.int32))
+        blocked = jax.lax.cond(
+            cnt == 0, lambda: blocked,
+            (lambda: jax.lax.cond(cnt <= f, _partial_fix, _full_fix))
+            if f > 0 else _full_fix)
     if with_overflow:
-        return blocked, overflowed
+        return blocked, jnp.any(overflowed)
     return blocked
 
 
@@ -1419,7 +1495,8 @@ def occluded_bundle_pallas(
                                    "cull", "group", "k_cand", "depth",
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
-                                   "debug_steps", "sort_key"))
+                                   "debug_steps", "sort_key",
+                                   "fallback_bundles"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1446,6 +1523,9 @@ def closest_hit_bundle_pallas(
     t_cap: bool = False,
     debug_steps: bool = False,
     sort_key: str = "cand0",
+    fallback_bundles: int = FALLBACK_BUNDLES,
+    wald_rows: jax.Array | None = None,
+    meta_rows: jax.Array | None = None,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1453,12 +1533,16 @@ def closest_hit_bundle_pallas(
     (HitRecord, overflowed) — see _prep.
 
     overflow_fallback=True (default) closes the truncation hazard
-    structurally (VERDICT r2 #1a): when any bundle's exact candidate
-    union exceeded k_cand, the whole batch re-traces through the XLA
-    bundle walk (full-length interval candidate lists — can never
-    truncate). The fallback sits behind lax.cond, so it costs nothing
-    unless taken; correct tunings never take it (tests force it with a
-    tiny k_cand).
+    structurally (VERDICT r2 #1a): bundles whose exact candidate union
+    exceeded k_cand re-trace through the same kernel at k_cand=C
+    (full-length lists — can never truncate); only past
+    fallback_bundles of them does the whole batch re-trace through the
+    XLA bundle walk. Both sit behind lax.cond, costing nothing unless
+    taken (tests force both with a tiny k_cand).
+
+    wald_rows/meta_rows: prebuilt _wald_rows/_tri_meta tables (built
+    once per scene by make_tracers) — rebuilding them inside the call
+    measured ~53/~17 ms of pure fixed cost on a 260k-tri scene.
 
     mm=True: Wald affines as MXU dots (_intersect_block_mm) — measured
     0.6-0.8x on v5e (HIGHEST-precision f32 dots on a bf16 MXU plus the
@@ -1476,7 +1560,12 @@ def closest_hit_bundle_pallas(
     else:
         group = max(1, min(group, (1 << SLOT_BITS) // sp))
         sc_m = 0
-        wald = _wald_rows_mm(clusters) if mm else _wald_rows(clusters)
+        if mm:
+            wald = _wald_rows_mm(clusters)
+        elif wald_rows is not None:
+            wald = wald_rows
+        else:
+            wald = _wald_rows(clusters)
     assert group * sp <= (1 << SLOT_BITS), \
         "packed winner keys carry the slot in the low SLOT_BITS bits"
     n_orig = origins.shape[0]
@@ -1509,8 +1598,9 @@ def closest_hit_bundle_pallas(
     # kernel loop (see _walk_kernel doc)
     missed = code == jnp.int32(0x7FFFFFFF)
     safe_code = jnp.where(missed, 0, code)
-    meta = _tri_meta(clusters, tri_geometry, tri_primitive)[
-        safe_code]  # [n, 16] i32
+    meta_table = (meta_rows if meta_rows is not None
+                  else _tri_meta(clusters, tri_geometry, tri_primitive))
+    meta = meta_table[safe_code]  # [n, 16] i32
     tri_r = jnp.where(missed, -1, meta[:, 12])
     geom_r = jnp.where(missed, -1, meta[:, 13])
     prim_r = jnp.where(missed, 0, meta[:, 14])
@@ -1560,17 +1650,53 @@ def closest_hit_bundle_pallas(
     if debug_steps:
         # measurement mode: per-bundle walk telemetry, no fallback branch
         return rec, {"steps": steps, "cand_count": cand_count[:b],
-                     "overflowed": overflowed}
+                     "overflowed": jnp.any(overflowed)}
     if overflow_fallback and cull != "sc":
         from raytracer2_tpu.ops import traverse_bundle as tbm
 
-        rec = jax.lax.cond(
-            overflowed,
-            lambda: tbm.closest_hit_bundle(
+        # bounded partial fallback (see occluded_bundle_pallas): re-trace
+        # only the overflowed bundles through the same kernel at
+        # k_cand=num_clusters (cannot truncate => exact), full retrace
+        # only past fallback_bundles of them
+        f = min(fallback_bundles, b)
+        tn_o = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+        tx_o = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+
+        def _partial_fix():
+            oi, valid, _ = _ovf_ray_index(overflowed, perm, p, n_orig, f)
+            sub = closest_hit_bundle_pallas(
+                clusters, tri_geometry, tri_primitive,
+                origins[oi], directions[oi], tn_o[oi],
+                jnp.where(valid, tx_o[oi], -1.0), scene_min, scene_max,
+                bundle_size=p, interpret=interpret, presorted=True,
+                cull="exact", group=group if sc_m == 0 else 4,
+                k_cand=clusters.num_clusters, depth=depth, mb=mb,
+                overflow_fallback=False,
+                wald_rows=wald if not mm else None, meta_rows=meta_table)
+
+            def put(dst, val):
+                # invalid slots scatter to the dummy row n_orig (discarded)
+                ext = jnp.concatenate([dst, dst[:1]])
+                return ext.at[oi].set(val)[:n_orig]
+
+            return HitRecord(
+                t=put(rec.t, sub.t), u=put(rec.u, sub.u),
+                v=put(rec.v, sub.v),
+                geometry_index=put(rec.geometry_index, sub.geometry_index),
+                primitive_id=put(rec.primitive_id, sub.primitive_id),
+                triangle_index=put(rec.triangle_index, sub.triangle_index))
+
+        def _full_fix():
+            return tbm.closest_hit_bundle(
                 clusters, tri_geometry, tri_primitive, origins, directions,
                 t_min, t_max, scene_min, scene_max,
-                sort_rays=not presorted),
-            lambda: rec)
+                sort_rays=not presorted)
+
+        cnt = jnp.sum(overflowed.astype(jnp.int32))
+        rec = jax.lax.cond(
+            cnt == 0, lambda: rec,
+            (lambda: jax.lax.cond(cnt <= f, _partial_fix, _full_fix))
+            if f > 0 else _full_fix)
     if with_overflow:
-        return rec, overflowed
+        return rec, jnp.any(overflowed)
     return rec

@@ -500,6 +500,41 @@ class TestOverflowFallback:
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
 
+    def test_partial_fix_handles_multiple_bundles(self, sphere_scene):
+        """k_cand=1 overflows several bundles at once; the bounded
+        partial fallback must fix all of them, not just the first."""
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters, smin, smax, origins, dirs, ref = self._setup(sphere_scene)
+        rec, ovf = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            bundle_size=128, k_cand=1, interpret=True, with_overflow=True)
+        assert bool(ovf)
+        np.testing.assert_array_equal(np.asarray(rec.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(rec.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+
+    def test_full_fallback_past_bundle_budget(self, sphere_scene):
+        """When more than fallback_bundles bundles overflow, the full-batch
+        retrace must take over and still match the oracle exactly."""
+        from raytracer2_tpu.ops.pallas_traverse import closest_hit_bundle_pallas
+
+        clusters, smin, smax, origins, dirs, ref = self._setup(sphere_scene)
+        rec, ovf = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            bundle_size=128, k_cand=1, interpret=True, with_overflow=True,
+            fallback_bundles=0)
+        assert bool(ovf)
+        np.testing.assert_array_equal(np.asarray(rec.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(rec.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+
 
 class TestMXUIntersect:
     """mm=True evaluates the six Wald affines as [2P,4]@[4,W] dots on the
