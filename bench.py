@@ -198,13 +198,18 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     if renderer.tracers.overflow_probe is not None:
         from raytracer2_tpu.render import rays as raysmod
 
-        # probe the primaries the way gbuffer_pass traces them: along
-        # the static Z-curve with presorted=True (row-major scanline
+        # probe the primaries the way gbuffer_pass traces them: in the
+        # coherent tile/Z order with presorted=True (row-major scanline
         # bundles would report spuriously wide unions)
         px, py = raysmod.pixel_grid(width, height)
         probe_rays = raysmod.setup_primary_ray(
             px.reshape(-1), py.reshape(-1), g_const.view)
-        zidx, _ = raysmod.zorder_permutation(width, height)
+        tiles = raysmod.tile_shape(width, height)
+        if tiles is not None:
+            zidx = raysmod.tile_permutation(width, height, tiles[1],
+                                            tiles[0])
+        else:
+            zidx, _ = raysmod.zorder_permutation(width, height)
         overflow = bool(renderer.tracers.overflow_probe(
             probe_rays.origin[zidx], probe_rays.direction[zidx],
             probe_rays.t_min, probe_rays.t_max, presorted=True))

@@ -1441,7 +1441,8 @@ def occluded_bundle_pallas(
     steps = hit[:b, 1, 0] if debug_steps else None
     hit = hit[:, 0, :].reshape(b_pad * p)[:n_orig]
     if perm is not None:
-        hit = hit[jnp.argsort(perm)]
+        # un-sort with ONE [N] i32 scatter instead of argsort + gather
+        hit = jnp.zeros_like(hit).at[perm].set(hit)
     blocked = hit.astype(jnp.bool_)
     if debug_steps:
         # measurement mode: per-bundle walk telemetry, no fallback branch
@@ -1595,7 +1596,16 @@ def closest_hit_bundle_pallas(
     # winner code -> (triangle, geometry, primitive) + Wald coefficients:
     # one packed row gather, then a 12-FMA re-evaluation reproduces the
     # winner's exact (t, u, v) — cheaper than carrying them through the
-    # kernel loop (see _walk_kernel doc)
+    # kernel loop (see _walk_kernel doc). The code is un-sorted FIRST with
+    # one [N] i32 scatter, so the meta gather and the re-evaluation run in
+    # ORIGINAL ray order against the caller's origins/directions — the
+    # previous argsort(perm) + packed [N, 6] un-sort row gather at the end
+    # were pure data movement this scatter replaces.
+    if perm is not None:
+        code = jnp.zeros((n_orig,), jnp.int32).at[perm].set(code)
+        on, dn = origins, directions
+    else:
+        on, dn = o[:n_orig], d[:n_orig]
     missed = code == jnp.int32(0x7FFFFFFF)
     safe_code = jnp.where(missed, 0, code)
     meta_table = (meta_rows if meta_rows is not None
@@ -1606,8 +1616,6 @@ def closest_hit_bundle_pallas(
     prim_r = jnp.where(missed, 0, meta[:, 14])
 
     wf = jax.lax.bitcast_convert_type(meta[:, 0:12], jnp.float32)
-    on = o[:n_orig]
-    dn = d[:n_orig]
     op_u = (wf[:, 0] * on[:, 0] + wf[:, 3] * on[:, 1]
             + wf[:, 6] * on[:, 2] + wf[:, 9])
     op_v = (wf[:, 1] * on[:, 0] + wf[:, 4] * on[:, 1]
@@ -1623,21 +1631,6 @@ def closest_hit_bundle_pallas(
     t_r = -op_z / jnp.where(dzv == 0.0, 1.0, dzv)
     u_r = op_u + t_r * dp_u
     v_r = op_v + t_r * dp_v
-
-    if perm is not None:
-        inv_perm = jnp.argsort(perm)
-        # one packed gather instead of six (see _apply_permutation). The
-        # int ids ride along as CONVERTED f32 (exact for ids < 2^24) —
-        # NOT a bitcast: small-int bit patterns are f32 denormals and the
-        # TPU flushes those to zero in transit.
-        packed = jnp.stack(
-            [t_r, u_r, v_r, tri_r.astype(jnp.float32),
-             geom_r.astype(jnp.float32), prim_r.astype(jnp.float32)],
-            axis=1)[inv_perm]
-        t_r, u_r, v_r = packed[:, 0], packed[:, 1], packed[:, 2]
-        tri_r = packed[:, 3].astype(jnp.int32)
-        geom_r = packed[:, 4].astype(jnp.int32)
-        prim_r = packed[:, 5].astype(jnp.int32)
     missed_r = tri_r < 0
 
     geom = jnp.where(missed_r, INVALID_INDEX, geom_r.astype(jnp.uint32))

@@ -320,22 +320,32 @@ def make_bridge(
         o, d, tmin, tmax = setup_visibility_ray(surface, sample_position)
         batch = tmin.shape
         if len(batch) == 2 and batch[0] * batch[1] >= 4096:
-            # pixel-grid launch: shadow-ray origins are the (Z-coherent)
-            # primary surfaces, so a static Z-curve reorder + the
+            # pixel-grid launch: shadow-ray origins are the (tile-coherent)
+            # primary surfaces, so a static coherent reorder + the
             # tracer's presorted path skips the runtime cull sort (a
             # dense per-ray key pass + argsort + permutation gathers).
-            # One packed [N, 8] gather in, one [N] gather out.
-            from raytracer2_tpu.render.rays import zorder_permutation
+            # Tile order (8x16 screen tiles) is a pure reshape/transpose
+            # both ways — the Z-curve fallback pays one packed [N, 8]
+            # gather in and one [N] gather out.
+            from raytracer2_tpu.render.rays import (
+                tile_flatten, tile_shape, tile_unflatten,
+                zorder_permutation)
 
             h, w = batch
-            zidx, zinv = zorder_permutation(w, h)
             packed = jnp.concatenate(
-                [o.reshape(-1, 3), d.reshape(-1, 3),
-                 tmin.reshape(-1, 1), tmax.reshape(-1, 1)],
-                axis=1)[jnp.asarray(zidx)]
+                [o, d, tmin[..., None], tmax[..., None]], axis=-1)
+            tiles = tile_shape(w, h)
+            if tiles is not None:
+                th, tw = tiles
+                packed = tile_flatten(packed, tw, th)
+            else:
+                zidx, zinv = zorder_permutation(w, h)
+                packed = packed.reshape(-1, 8)[jnp.asarray(zidx)]
             blocked_z = tracers.occluded(
                 packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
                 presorted="shadow")
+            if tiles is not None:
+                return ~tile_unflatten(blocked_z, h, w, tw, th)
             return ~blocked_z[jnp.asarray(zinv)].reshape(batch)
         blocked = tracers.occluded(o.reshape(-1, 3), d.reshape(-1, 3),
                                    tmin.reshape(-1), tmax.reshape(-1))

@@ -68,6 +68,7 @@ def di_fused_resampling_pass(
     reservoir, light_sample, rng, tile_rng = sample_lights_for_surface(
         rng, tile_rng, surface, sample_params, light_ctx, bridge)
 
+    vis_known = None
     if isp.enable_initial_visibility:
         # initial visibility kill (di_fused_resampling.rgen:40-46)
         visible = bridge.get_conservative_visibility(
@@ -76,6 +77,11 @@ def di_fused_resampling_pass(
         reservoir = dires.store_visibility(
             reservoir, jnp.zeros(light_sample.position.shape, jnp.float32),
             True, active=need)
+        # no resampling runs between here and shading (the reference's
+        # commented-out spatio-temporal call below), so the shading
+        # visibility ray is IDENTICAL to this one — reuse it instead of
+        # tracing a second full-screen shadow batch
+        vis_known = visible
 
     # spatio-temporal resampling: commented out in the reference
     # (di_fused_resampling.rgen:69-70) — quirk preserved.
@@ -94,7 +100,8 @@ def di_fused_resampling_pass(
         reservoir, surface, light_sample,
         g_const.restir_di.shading_params,
         g_const.restir_di.temporal_resampling_params,
-        bridge, enable_visibility_reuse=True)
+        bridge, enable_visibility_reuse=True,
+        known_visibility=vis_known)
     diffuse = jnp.where(valid[..., None], diffuse, 0.0)
     specular = jnp.where(valid[..., None],
                          brdfm.demodulate_specular(

@@ -69,11 +69,19 @@ def gbuffer_pass(
     byte, so one wide gather beats two narrower ones ~2x."""
     import numpy as np
 
-    zidx, zinv = raysmod.zorder_permutation(width, height)
-    px, py = raysmod.pixel_grid(width, height)
-    pxf = px.reshape(-1)
-    pyf = py.reshape(-1) + row0  # global rows under row-sharded tiles
-    # Z-ordered pixel coords are compile-time constants: permute with
+    # coherent ray layout: 8x16 pixel tiles via reshape/transpose when the
+    # viewport divides (the un-order of the packed outputs is then a
+    # bandwidth copy, not a ~62 ms [N, 10] permutation gather); Z-curve
+    # permutation otherwise
+    tiles = raysmod.tile_shape(width, height) if isinstance(row0, int) \
+        else None
+    if tiles is not None:
+        th, tw = tiles
+        zidx = raysmod.tile_permutation(width, height, tw, th)
+        zinv = None
+    else:
+        zidx, zinv = raysmod.zorder_permutation(width, height)
+    # coherent-order pixel coords are compile-time constants: permute with
     # numpy so no runtime [N] gathers exist (row0 is traced only under
     # sharding; keep the device gather for that rare case)
     if isinstance(row0, int):
@@ -81,8 +89,9 @@ def gbuffer_pass(
         px_z = jnp.asarray((lin % width).astype(np.int32)[zidx])
         py_z = jnp.asarray((lin // width + row0).astype(np.int32)[zidx])
     else:
-        px_z = pxf[jnp.asarray(zidx)]
-        py_z = pyf[jnp.asarray(zidx)]
+        px, py = raysmod.pixel_grid(width, height)
+        px_z = px.reshape(-1)[jnp.asarray(zidx)]
+        py_z = (py.reshape(-1) + row0)[jnp.asarray(zidx)]
 
     rays_z = raysmod.setup_primary_ray(px_z, py_z, g_const.view)
     hit = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
@@ -119,7 +128,12 @@ def gbuffer_pass(
          ch(spec_rough, jnp.uint32(0)).astype(jnp.int32)], axis=1)
     em_mo_z = bc(jnp.where(missed[:, None], 0.0,
                            jnp.concatenate([geom.emission, motion], axis=1)))
-    packed = jnp.concatenate([packed_z, em_mo_z], axis=1)[jnp.asarray(zinv)]
+    packed = jnp.concatenate([packed_z, em_mo_z], axis=1)
+    if tiles is not None:
+        packed = raysmod.tile_unflatten(
+            packed, height, width, tw, th).reshape(height * width, -1)
+    else:
+        packed = packed[jnp.asarray(zinv)]
 
     depth = jax.lax.bitcast_convert_type(packed[:, 0], jnp.float32)
     oct_row = packed[:, 1].astype(jnp.uint32)

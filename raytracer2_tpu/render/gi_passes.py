@@ -338,12 +338,24 @@ def shade_secondary_surfaces_pass(
         sample_params = init_sample_parameters(0, 0, 0, 1, 0.0, 0.001)
         reservoir, light_sample, rng, tile_rng = sample_lights_for_surface(
             rng, tile_rng, sec_surface, sample_params, light_ctx, bridge)
+        # the ONLY candidate here is the BRDF sample (matching
+        # shade_secondary_surfaces.rgen:67-76), and its visibility is
+        # established by the candidate ray itself: the closest hit either
+        # WAS the identified light or escaped to the environment, so the
+        # sample position is reachable by construction. The reference
+        # re-traces the identical ray inside ShadeSurfaceWithLightSample
+        # (:109); the result is 'visible' for every lane that holds a
+        # valid sample — skip the full-screen shadow trace. (Lanes whose
+        # candidate ray found no light have solid_angle_pdf == 0 and shade
+        # to zero regardless of the visibility value.)
         reservoir, ind_diffuse, ind_specular, _ = \
             shade_surface_with_light_sample(
                 reservoir, sec_surface, light_sample,
                 g_const.restir_di.shading_params,
                 g_const.restir_di.temporal_resampling_params,
-                bridge, enable_visibility_reuse=False)
+                bridge, enable_visibility_reuse=False,
+                known_visibility=jnp.ones(sec_surface.view_depth.shape,
+                                          bool))
         shade_ok = is_valid_secondary & ~is_env
         radiance = radiance + jnp.where(
             shade_ok[..., None],

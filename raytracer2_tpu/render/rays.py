@@ -77,6 +77,58 @@ def scatter_field(full: jax.Array, half: jax.Array, field: int) -> jax.Array:
     return full
 
 
+TILE_H = 8  # pixel-tile height of the gather-free coherent ray layout
+
+
+def tile_shape(width: int, height: int, bundle: int = 128
+               ) -> tuple[int, int] | None:
+    """(tile_h, tile_w) of the reshape-expressible coherent layout, or
+    None when the viewport doesn't divide. One tile = one `bundle`-ray
+    tracer bundle; wider tracer bundles (256) take two horizontally
+    adjacent tiles, still a compact 8x32 screen region."""
+    th = TILE_H
+    tw = bundle // th
+    if height % th == 0 and width % tw == 0 and bundle % th == 0:
+        return th, tw
+    return None
+
+
+def tile_flatten(img: jax.Array, tile_w: int, tile_h: int = TILE_H
+                 ) -> jax.Array:
+    """[H, W, ...] -> [H*W, ...] such that every consecutive
+    tile_h*tile_w chunk is one compact screen tile (row-major tile
+    order). Pure reshape+transpose — the gather-free replacement for the
+    Z-curve permutation: a 2M-row permutation gather costs ~62 ms on
+    v5e, a transpose is a bandwidth copy (~3 ms), and the tracer's
+    presorted bundles only need rays that SHARE a chunk to share a
+    screen tile, not any particular order across chunks."""
+    h, w = img.shape[0], img.shape[1]
+    rest = img.shape[2:]
+    x = img.reshape(h // tile_h, tile_h, w // tile_w, tile_w, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((h * w,) + rest)
+
+
+def tile_unflatten(flat: jax.Array, height: int, width: int, tile_w: int,
+                   tile_h: int = TILE_H) -> jax.Array:
+    """Inverse of tile_flatten: [H*W, ...] tile order -> [H, W, ...]."""
+    rest = flat.shape[1:]
+    x = flat.reshape(height // tile_h, width // tile_w, tile_h, tile_w,
+                     *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((height, width) + rest)
+
+
+@lru_cache(maxsize=8)
+def tile_permutation(width: int, height: int, tile_w: int,
+                     tile_h: int = TILE_H) -> np.ndarray:
+    """tidx[j] = row-major pixel index of the j-th pixel in tile order
+    (the numpy mirror of tile_flatten, for compile-time ray constants)."""
+    lin = np.arange(width * height, dtype=np.int32).reshape(height, width)
+    x = lin.reshape(height // tile_h, tile_h, width // tile_w, tile_w)
+    return np.swapaxes(x, 1, 2).reshape(-1)
+
+
 @lru_cache(maxsize=8)
 def zorder_permutation(width: int, height: int
                        ) -> tuple[np.ndarray, np.ndarray]:

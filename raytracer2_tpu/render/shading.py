@@ -37,8 +37,18 @@ def shade_surface_with_light_sample(
     temporal_params: DITemporalResamplingParameters,
     bridge: Bridge,
     enable_visibility_reuse: bool,
+    known_visibility: jax.Array | None = None,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array, jax.Array]:
     """Port of ShadeSurfaceWithLightSample (ShadingHelpers.glsl:2-58).
+
+    known_visibility: the result of an earlier
+    get_conservative_visibility(surface, light_sample.position) for the
+    SAME sample, if one was already traced this pass. The fused DI pass
+    runs no resampling between its initial-visibility kill and shading
+    (the reference's commented-out call, di_fused_resampling.rgen:69-70),
+    so the shading visibility ray is bitwise identical to the initial one
+    — reusing it drops a full-screen shadow trace with zero estimator
+    change.
 
     Returns (reservoir, diffuse [...,3], specular [...,3], light_distance).
     """
@@ -58,10 +68,11 @@ def shade_surface_with_light_sample(
             vis = jnp.zeros(shape + (3,), jnp.float32)
 
         # batched visibility ray for lanes without reusable visibility
-        origin, direction, t_min, t_max = setup_visibility_ray(
-            surface, light_sample.position, 0.01)
-        visible = bridge.get_conservative_visibility(surface,
-                                                     light_sample.position)
+        if known_visibility is not None:
+            visible = known_visibility
+        else:
+            visible = bridge.get_conservative_visibility(
+                surface, light_sample.position)
         traced_vis = jnp.where(visible[..., None], 1.0, 0.0)
         need_trace = live & ~reused
         vis = jnp.where(need_trace[..., None], traced_vis, vis)
