@@ -470,6 +470,14 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
             key = _hier_sort_key(origins, directions, t_min, t_max_a,
                                  clusters, sc_min, sc_max, m_key,
                                  scene_min, scene_max)
+        elif sort_key == "sc4":
+            # cand0 at 4-cluster-supercluster granularity: same
+            # direction-aware nearest-box semantics, 1/4 the dense key
+            # pass (the per-ray CANDIDATE cull below stays cluster-exact
+            # either way — only bundle composition changes)
+            sc_min, sc_max = _supercluster_boxes(clusters, 4)
+            key = _cand0_sort_key(origins, directions, t_min, t_max_a,
+                                  sc_min, sc_max, scene_min, scene_max)
         elif sort_key == "octz":
             key = _octz_sort_key(directions, t_max_a,
                                  scene_min, scene_max)
@@ -1119,7 +1127,8 @@ def _walk_kernel(cand_count_ref,
                  cand_idx_hbm, cand_t_hbm, wald_hbm,
                  out_ref,
                  idx_rows, t_rows, scratch, sems, row_sems,
-                 *, group, mb, sc_m=0, mm=False, debug_steps=False):
+                 *, group, mb, sc_m=0, mm=False, debug_steps=False,
+                 lean=False):
     """MB bundles per grid step, `group` clusters per walk iteration;
     packed-key winner tracking (module doc). The per-ray winner is
     carried as a CODE (cluster * S_pad + triangle slot); the host turns
@@ -1129,7 +1138,15 @@ def _walk_kernel(cand_count_ref,
     four-way t/u/v/ci masked-min extraction was ~a third of the step's
     lane work. Output row per bundle: code (i32, 0x7FFFFFFF = miss).
     sc_m > 0: supercluster mode — one candidate (= one SC of sc_m
-    clusters, one contiguous DMA) per step."""
+    clusters, one contiguous DMA) per step.
+
+    lean=True (r3.4) drops the remaining per-step [P, W] extraction
+    (is_win compare + masked min-reduce + the group-scalar ci_row
+    build): the loop carries the winning step index best_it as a [P]
+    vector instead (better/min/where are all [P]-wide), and the host
+    recovers the candidate slot from best_key's low SLOT_BITS plus ONE
+    extra [N] gather into the sorted-space cand_idx_flat table. Output
+    rows become (best_key, best_it); best_it == -1 flags a miss."""
     p = rays_ref.shape[0] // mb
     base = pl.program_id(0) * mb
     _issue_row_dmas(mb, base, cand_count_ref, cand_idx_hbm, cand_t_hbm,
@@ -1164,7 +1181,9 @@ def _walk_kernel(cand_count_ref,
         # dead lanes (t_max < 0) get a negative key no hit can beat. Low
         # bits are SET (round up) so a hit at exactly t_max still wins.
         init_key = (_bc_i32(tx) & ~SLOT_MASK) | SLOT_MASK
-        init = (jnp.int32(0), init_key, jnp.full((p,), big_i, jnp.int32))
+        init_aux = (jnp.full((p,), -1, jnp.int32) if lean
+                    else jnp.full((p,), big_i, jnp.int32))
+        init = (jnp.int32(0), init_key, init_aux)
 
         def cond(state, cand_at=cand_at, n_cand=n_cand, k_max=k_max):
             it, best_key = state[0], state[1]
@@ -1213,6 +1232,14 @@ def _walk_kernel(cand_count_ref,
                 jnp.int32(MISS_KEY))
             step_key = jnp.min(key, axis=-1)
 
+            better = step_key < best_key
+            best_key = jnp.minimum(step_key, best_key)
+            if lean:
+                # [P]-wide winner-step carry; slot rides best_key's low
+                # bits, the host resolves (it, slot) -> cluster (docstring)
+                best_code = jnp.where(better, it, best_code)
+                return it + 1, best_key, best_code
+
             # winner code extraction: the winning lane is unique (the
             # slot in the low key bits is the lane index), so one
             # equality-masked min recovers cluster * S_pad + tri slot
@@ -1228,8 +1255,6 @@ def _walk_kernel(cand_count_ref,
             code_row = ci_row * sp + lane_row  # [1, W]
             step_code = jnp.min(jnp.where(is_win, code_row, big_i), axis=-1)
 
-            better = step_key < best_key
-            best_key = jnp.minimum(step_key, best_key)
             best_code = jnp.where(better, step_code, best_code)
             return it + 1, best_key, best_code
 
@@ -1250,11 +1275,16 @@ def _walk_kernel(cand_count_ref,
                     def _(off=off, g=g):
                         fetch((it_final + off) * group + g, g).wait()
 
-        out_ref[j, 0, :] = best_code
+        if lean:
+            out_ref[j, 0, :] = best_key
+            out_ref[j, 1, :] = best_code  # = best_it; -1 flags a miss
+        else:
+            out_ref[j, 0, :] = best_code
         if debug_steps:
             # telemetry row: walk iterations this bundle actually took
             # (early exit included) — the per-bundle work histogram
-            out_ref[j, 1, :] = jnp.full((p,), it_final, jnp.int32)
+            out_ref[j, (2 if lean else 1), :] = jnp.full(
+                (p,), it_final, jnp.int32)
 
 
 def _occlude_kernel(cand_count_ref,
@@ -1497,7 +1527,7 @@ def occluded_bundle_pallas(
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
                                    "debug_steps", "sort_key",
-                                   "fallback_bundles"))
+                                   "fallback_bundles", "lean"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1527,6 +1557,7 @@ def closest_hit_bundle_pallas(
     fallback_bundles: int = FALLBACK_BUNDLES,
     wald_rows: jax.Array | None = None,
     meta_rows: jax.Array | None = None,
+    lean: bool = False,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1580,18 +1611,34 @@ def closest_hit_bundle_pallas(
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
         mb, b, rays8, cand_idx, cand_t, cand_count, p)
 
-    out_rows = 2 if debug_steps else 1
+    if cull == "sc":
+        lean = False  # sc-mode ci decode is in-kernel only (negative path)
+    out_rows = (2 if lean else 1) + (1 if debug_steps else 0)
     out = pl.pallas_call(
         partial(_walk_kernel, group=group, mb=mb, sc_m=sc_m, mm=mm,
-                debug_steps=debug_steps),
+                debug_steps=debug_steps, lean=lean),
         grid_spec=_grid_spec(b_pad, p, kp, sp, group, depth=depth,
                              out_rows=out_rows, mb=mb),
         out_shape=jax.ShapeDtypeStruct((b_pad, out_rows, p), jnp.int32),
         interpret=interpret,
     )(cand_count, rays8, cand_idx, cand_t, wald)
     m_pad = b_pad * p
-    steps = out[:b, 1, 0] if debug_steps else None
-    code = out[:, 0, :].reshape(m_pad)[:n_orig]
+    steps = out[:b, out_rows - 1, 0] if debug_steps else None
+    if lean:
+        # sorted-space decode: slot rides best_key's low bits, best_it is
+        # the winning walk step; ONE gather into the sorted-space
+        # candidate table recovers the cluster id (kernel docstring)
+        best_key = out[:, 0, :].reshape(m_pad)[:n_orig]
+        best_it = out[:, 1, :].reshape(m_pad)[:n_orig]
+        slot = best_key & SLOT_MASK
+        k_idx = best_it * group + slot // sp
+        row = jnp.arange(n_orig, dtype=jnp.int32) // p  # sorted bundle id
+        flat = jnp.clip(row * kp + k_idx, 0, cand_idx_flat.size - 1)
+        ci = cand_idx_flat.reshape(-1)[flat]
+        code = jnp.where(best_it < 0, jnp.int32(0x7FFFFFFF),
+                         ci * sp + jax.lax.rem(slot, sp))
+    else:
+        code = out[:, 0, :].reshape(m_pad)[:n_orig]
 
     # winner code -> (triangle, geometry, primitive) + Wald coefficients:
     # one packed row gather, then a 12-FMA re-evaluation reproduces the
@@ -1664,7 +1711,7 @@ def closest_hit_bundle_pallas(
                 bundle_size=p, interpret=interpret, presorted=True,
                 cull="exact", group=group if sc_m == 0 else 4,
                 k_cand=clusters.num_clusters, depth=depth, mb=mb,
-                overflow_fallback=False,
+                overflow_fallback=False, lean=lean,
                 wald_rows=wald if not mm else None, meta_rows=meta_table)
 
             def put(dst, val):

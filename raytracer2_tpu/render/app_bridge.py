@@ -113,8 +113,13 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             # is pure savings here.
             True: dict(bundle_size=256 if big else 128, mb=8, group=4,
                        k_cand=256, cull="interval"),
+            # lean=True: [P]-wide winner-step carry in the walk kernel
+            # (one extra host decode gather). Wins on incoherent bundles
+            # (deep walks amortize the decode: 387 -> 380 ms brdf class)
+            # but LOSES on coherent tiles (148 -> 156 ms pri-z: few steps,
+            # the decode gather dominates) — incoherent-only
             False: dict(bundle_size=128, mb=16 if big else 8,
-                        group=8 if big else 4, k_cand=256),
+                        group=8 if big else 4, k_cand=256, lean=True),
             # Z-presorted shadow batches (bridge visibility rays): tile
             # origins but scattered directions — keep the tight
             # incoherent bundle shape while skipping the runtime sort.
@@ -166,10 +171,11 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                 meta_rows=meta_rows, **by_sort[presorted])
 
         def occl(o, d, tmin, tmax, presorted=False):
+            kw = {k: v for k, v in by_sort[presorted].items()
+                  if k != "lean"}  # lean is a closest-hit-only lever
             return ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
-                presorted=_sortcfg(presorted), wald_rows=wald_rows,
-                **by_sort[presorted])
+                presorted=_sortcfg(presorted), wald_rows=wald_rows, **kw)
 
         def probe(o, d, tmin, tmax, presorted=False):
             _, flag = ptm.closest_hit_bundle_pallas(
@@ -181,10 +187,12 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             return flag
 
         def occl_probe(o, d, tmin, tmax, presorted=False):
+            kw = {k: v for k, v in by_sort[presorted].items()
+                  if k != "lean"}
             _, flag = ptm.occluded_bundle_pallas(
                 clusters, o, d, tmin, tmax, scene_min, scene_max,
                 presorted=_sortcfg(presorted), with_overflow=True,
-                wald_rows=wald_rows, **by_sort[presorted])
+                wald_rows=wald_rows, **kw)
             return flag
 
         return Tracers(closest_hit=closest, occluded=occl,

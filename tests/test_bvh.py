@@ -322,6 +322,36 @@ class TestPallasTracer:
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
 
+    def test_lean_winner_carry_parity(self, sphere_scene):
+        """lean=True (the [P]-wide winner-step carry + host-side slot
+        decode, the production incoherent-class config) returns
+        BIT-IDENTICAL hits to the default in-kernel code extraction —
+        same winner triangle at t-ties included, since both order by the
+        identical packed (t | slot) key."""
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import (
+            closest_hit_bundle_pallas)
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=37, spread=5.0)
+        kw = dict(bundle_size=64, mb=2, group=2, k_cand=32, interpret=True)
+        base = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            lean=False, **kw)
+        lean = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            lean=True, **kw)
+        for field in ("t", "u", "v", "geometry_index", "primitive_id",
+                      "triangle_index"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, field)),
+                np.asarray(getattr(lean, field)), err_msg=field)
+
     def test_hier_cull_parity(self, sphere_scene):
         """Two-level (supercluster) culling returns the same hits as the
         flat exact cull. k_sc covers every supercluster here, so hier is
