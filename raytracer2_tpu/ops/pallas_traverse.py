@@ -99,6 +99,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raytracer2_tpu.ops import pallas_cull as pcull
 from raytracer2_tpu.ops.cluster import Clusters, bundle_cluster_overlap
 from raytracer2_tpu.ops.intersect import INVALID_INDEX, HitRecord
 
@@ -295,37 +296,50 @@ def _octz_sort_key(d, tx, scene_min, scene_max):
     return (octant << 29) | (t_bucket << 27) | rank
 
 
-def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
+def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max,
+                    use_kernel=False, interpret=False):
     """Per-ray sort key: [nearest exactly-overlapped box id | morton
     tiebreak]. Boxes are cluster AABBs (exact cull) or supercluster AABBs
     (hier cull). Rays that touch nothing key to C and compact into empty
     bundles the kernel skips; the morton tiebreak keeps same-box rays
-    spatially grouped so 2nd/3rd candidates also shared."""
+    spatially grouped so 2nd/3rd candidates also shared.
+
+    use_kernel=True computes the dense pass with the fused Pallas kernel
+    (ops/pallas_cull.py) — identical argmin result. Hardware verdict:
+    SLOWER (117 vs 80 ms at ladder scale, pallas_cull.py docstring);
+    default off, kept for re-testing."""
     from raytracer2_tpu.ops.traverse_bundle import (
         _expand_bits)  # morton helper
 
     n = o.shape[0]
     c = amin.shape[0]
-    chunk = max(1024, (CULL_CHUNK_BYTES // (4 * max(c, 1))) // 1024 * 1024)
-    chunk = min(chunk, ((n + 1023) // 1024) * 1024)
-    o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
-
-    def one(args):
-        oo, dd, tnn, txx = args
-        e = _entry_exact(oo, dd, tnn, txx, amin, amax)
-        nearest = jnp.min(e, axis=-1)
-        cand0 = jnp.argmin(e, axis=-1).astype(jnp.uint32)
-        return jnp.where(jnp.isfinite(nearest), cand0, jnp.uint32(c))
-
-    nb = o_p.shape[0] // chunk
-    if nb == 1:
-        cand0 = one((o_p, d_p, tn_p, tx_p))
+    if use_kernel and pcull.cull_kernel_fits(c):
+        boxes = pcull.box_rows(amin, amax)
+        cand0 = pcull.nearest_box_pallas(
+            _pack_rays8(o, d, tn, tx), boxes, interpret=interpret)
+        cand0 = jnp.minimum(cand0, c).astype(jnp.uint32)
     else:
-        cand0 = jax.lax.map(
-            one, (o_p.reshape(nb, chunk, 3), d_p.reshape(nb, chunk, 3),
-                  tn_p.reshape(nb, chunk), tx_p.reshape(nb, chunk))
-        ).reshape(-1)
-    cand0 = cand0[:n]
+        chunk = max(1024,
+                    (CULL_CHUNK_BYTES // (4 * max(c, 1))) // 1024 * 1024)
+        chunk = min(chunk, ((n + 1023) // 1024) * 1024)
+        o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
+
+        def one(args):
+            oo, dd, tnn, txx = args
+            e = _entry_exact(oo, dd, tnn, txx, amin, amax)
+            nearest = jnp.min(e, axis=-1)
+            cand0 = jnp.argmin(e, axis=-1).astype(jnp.uint32)
+            return jnp.where(jnp.isfinite(nearest), cand0, jnp.uint32(c))
+
+        nb = o_p.shape[0] // chunk
+        if nb == 1:
+            cand0 = one((o_p, d_p, tn_p, tx_p))
+        else:
+            cand0 = jax.lax.map(
+                one, (o_p.reshape(nb, chunk, 3), d_p.reshape(nb, chunk, 3),
+                      tn_p.reshape(nb, chunk), tx_p.reshape(nb, chunk))
+            ).reshape(-1)
+        cand0 = cand0[:n]
 
     # tiebreak (t_max bucket | octant | origin morton): short rays bundle
     # together so bounded shadow batches don't inherit the long rays'
@@ -439,7 +453,8 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
 
 def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
                            scene_min, scene_max, bundle_size, presorted,
-                           k_cand, t_cap=False, sort_key="cand0"):
+                           k_cand, t_cap=False, sort_key="cand0",
+                           cull_kernel=False, interpret=False):
     """Exact-cull prep: per-ray slab tests, cand0 ray sort, per-bundle
     union candidate lists ranked nearest-first (module docstring).
     t_cap=True additionally clamps each ray's t_max to its farthest
@@ -484,10 +499,44 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
         else:
             key = _cand0_sort_key(origins, directions, t_min, t_max_a,
                                   clusters.aabb_min, clusters.aabb_max,
-                                  scene_min, scene_max)
+                                  scene_min, scene_max,
+                                  use_kernel=cull_kernel,
+                                  interpret=interpret)
         perm = jnp.argsort(key)
         o, d, tn, tx = _apply_permutation(perm, [origins, directions],
                                           [t_min, t_max_a])
+
+    k = min(k_cand, c)
+
+    if cull_kernel and not t_cap and pcull.cull_kernel_fits(c):
+        # fused Pallas union: ue [B, C] is the only HBM write.
+        # Bit-identical entries -> identical candidate sets/ordering.
+        # Hardware verdict: wins standalone (68 vs 79 ms) but in-context
+        # a wash — XLA overlaps the union with the rest of the fused
+        # prep (pallas_cull.py docstring). Default off.
+        o, d, tn, tx = _pad_rays(o, d, tn, tx, p)
+        n = o.shape[0]
+        b = n // p
+        boxes = pcull.box_rows(clusters.aabb_min, clusters.aabb_max)
+        ue = pcull.bundle_union_pallas(
+            _pack_rays8(o, d, tn, tx), boxes, p=p,
+            interpret=interpret)[:, :c]
+        n_union = jnp.sum(jnp.isfinite(ue), axis=-1).astype(jnp.int32)
+        if k >= c:
+            cand_idx = jnp.argsort(ue, axis=-1).astype(jnp.int32)
+            cand_t = jnp.take_along_axis(ue, cand_idx, axis=-1)
+        else:
+            neg_t, idx = jax.lax.top_k(-ue, k)
+            cand_t, cand_idx = -neg_t, idx.astype(jnp.int32)
+        cand_count = jnp.minimum(
+            jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union
+        ).astype(jnp.int32)
+        overflowed = n_union > k
+        kp = ((k + 8 * LANE_PAD - 1) // (8 * LANE_PAD)) * (8 * LANE_PAD)
+        cand_idx_flat, cand_idx, cand_t = _rank_rows(cand_idx, cand_t,
+                                                     b, kp)
+        return (perm, o, d, tn, tx, cand_idx_flat, cand_idx, cand_t,
+                cand_count, n, b, kp, t_max_a, overflowed)
 
     # chunk the [rays, C] cull so Sponza-class cluster counts stay in HBM
     # budget; chunks are whole bundles
@@ -497,8 +546,6 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
     o, d, tn, tx = _pad_rays(o, d, tn, tx, cb * p)
     n = o.shape[0]
     b = n // p
-
-    k = min(k_cand, c)
 
     def one(args):
         oo, dd, tnn, txx = args  # [cb*p, ...]
@@ -841,7 +888,7 @@ def _prepare_bundles_sc(clusters, origins, directions, t_min, t_max,
 
 def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
           bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=False,
-          sort_key="cand0"):
+          sort_key="cand0", cull_kernel=False, interpret=False):
     """Returns (..., overflowed): overflowed is a per-bundle [B] device
     bool vector, True where that bundle's true candidate union exceeded
     k_cand (rays whose closest hit lives in a dropped cluster would
@@ -867,7 +914,8 @@ def _prep(clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         return _prepare_bundles_exact(
             clusters, origins, directions, t_min, t_max, scene_min,
             scene_max, bundle_size, presorted, k_cand, t_cap=t_cap,
-            sort_key=sort_key)
+            sort_key=sort_key, cull_kernel=cull_kernel,
+            interpret=interpret)
     return _prepare_bundles(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, exact_key=(cull == "exact_iv"),
@@ -1394,7 +1442,7 @@ def _occlude_kernel(cand_count_ref,
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
                                    "debug_steps", "sort_key",
-                                   "fallback_bundles"))
+                                   "fallback_bundles", "cull_kernel"))
 def occluded_bundle_pallas(
     clusters: Clusters,
     origins: jax.Array,
@@ -1421,6 +1469,7 @@ def occluded_bundle_pallas(
     sort_key: str = "cand0",
     fallback_bundles: int = FALLBACK_BUNDLES,
     wald_rows: jax.Array | None = None,
+    cull_kernel: bool | None = None,
 ) -> jax.Array:
     """Any-hit visibility batch via the Pallas walk: True where blocked.
     Shadow-ray counterpart of traceVisibilityRay (reference
@@ -1453,7 +1502,8 @@ def occluded_bundle_pallas(
      n, b, kp, _, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap,
-        sort_key=sort_key)
+        sort_key=sort_key, interpret=interpret,
+        cull_kernel=bool(cull_kernel))
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
@@ -1501,7 +1551,7 @@ def occluded_bundle_pallas(
                 bundle_size=p, interpret=interpret, presorted=True,
                 cull="exact", group=group if sc_m == 0 else 4,
                 k_cand=clusters.num_clusters, depth=depth, mb=mb,
-                overflow_fallback=False,
+                overflow_fallback=False, cull_kernel=cull_kernel,
                 wald_rows=wald if not mm else None)
             # invalid slots scatter to the dummy row n_orig (discarded)
             ext = jnp.concatenate([blocked, blocked[:1]])
@@ -1527,7 +1577,8 @@ def occluded_bundle_pallas(
                                    "m_super", "k_sc", "with_overflow",
                                    "mb", "overflow_fallback", "mm", "t_cap",
                                    "debug_steps", "sort_key",
-                                   "fallback_bundles", "lean"))
+                                   "fallback_bundles", "lean",
+                                   "cull_kernel"))
 def closest_hit_bundle_pallas(
     clusters: Clusters,
     tri_geometry: jax.Array,
@@ -1558,6 +1609,7 @@ def closest_hit_bundle_pallas(
     wald_rows: jax.Array | None = None,
     meta_rows: jax.Array | None = None,
     lean: bool = False,
+    cull_kernel: bool | None = None,
 ) -> HitRecord:
     """Closest-hit via the Pallas walk (module docstring). Returns the
     rayhit.rchit payload contract (t, u, v, geometry, primitive; reference
@@ -1605,7 +1657,8 @@ def closest_hit_bundle_pallas(
      n, b, kp, t_max_orig, overflowed) = _prep(
         clusters, origins, directions, t_min, t_max, scene_min, scene_max,
         bundle_size, presorted, cull, k_cand, m_super, k_sc, t_cap=t_cap,
-        sort_key=sort_key)
+        sort_key=sort_key, interpret=interpret,
+        cull_kernel=bool(cull_kernel))
     p = bundle_size
     rays8 = _pack_rays8(o, d, tn, tx)
     b_pad, rays8, cand_idx, cand_t, cand_count = _pad_bundles(
@@ -1711,7 +1764,7 @@ def closest_hit_bundle_pallas(
                 bundle_size=p, interpret=interpret, presorted=True,
                 cull="exact", group=group if sc_m == 0 else 4,
                 k_cand=clusters.num_clusters, depth=depth, mb=mb,
-                overflow_fallback=False, lean=lean,
+                overflow_fallback=False, lean=lean, cull_kernel=cull_kernel,
                 wald_rows=wald if not mm else None, meta_rows=meta_table)
 
             def put(dst, val):

@@ -322,6 +322,44 @@ class TestPallasTracer:
         np.testing.assert_array_equal(np.asarray(got),
                                       ~np.asarray(ref.missed))
 
+    def test_cull_kernel_parity(self, sphere_scene):
+        """cull_kernel=True (the fused Pallas dense-cull kernels,
+        ops/pallas_cull.py — the production TPU config) returns
+        BIT-IDENTICAL hits to the XLA chunked cull: the kernels compute
+        the same f32 slab arithmetic in the same op order, so candidate
+        sets, ordering, and winners all match."""
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_traverse import (
+            closest_hit_bundle_pallas, occluded_bundle_pallas)
+
+        clusters = build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                                  sphere_scene.tri_edge2, cluster_size=16)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        origins, dirs = _random_rays(512, seed=41, spread=5.0)
+        kw = dict(bundle_size=64, mb=2, group=2, k_cand=32, interpret=True)
+        base = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            cull_kernel=False, **kw)
+        fused = closest_hit_bundle_pallas(
+            clusters, sphere_scene.tri_geometry, sphere_scene.tri_primitive,
+            origins, dirs, 1e-3, jnp.full((512,), 1e5), smin, smax,
+            cull_kernel=True, **kw)
+        for field in ("t", "u", "v", "geometry_index", "primitive_id",
+                      "triangle_index"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, field)),
+                np.asarray(getattr(fused, field)), err_msg=field)
+        occ_base = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, jnp.full((512,), 10.0),
+            smin, smax, cull_kernel=False, **kw)
+        occ_fused = occluded_bundle_pallas(
+            clusters, origins, dirs, 1e-3, jnp.full((512,), 10.0),
+            smin, smax, cull_kernel=True, **kw)
+        np.testing.assert_array_equal(np.asarray(occ_base),
+                                      np.asarray(occ_fused))
+
     def test_lean_winner_carry_parity(self, sphere_scene):
         """lean=True (the [P]-wide winner-step carry + host-side slot
         decode, the production incoherent-class config) returns
