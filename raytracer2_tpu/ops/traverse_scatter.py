@@ -189,13 +189,6 @@ def _trace_scatter_batch(origins, directions, t_min, t_max,
 
     live = pair_ray >= 0
     safe_ray = jnp.maximum(pair_ray, 0)
-    po = origins[safe_ray].reshape(-1, p, 3)
-    pd = directions[safe_ray].reshape(-1, p, 3)
-    ptmin = jnp.where(live, t_min[safe_ray], 0.0).reshape(-1, p)
-    ptmax = jnp.where(live, t_max[safe_ray], -1.0).reshape(-1, p)
-
-    wald_blocks = sc.wald[block_sc]  # [blocks, 4, G*3*S]
-    tri_blocks = sc.tri_index[block_sc]  # [blocks, G*S]
 
     def intersect_block(o, d, wald, tri_ids, tmin_b, tcap_b):
         from raytracer2_tpu.ops.cluster import intersect_cluster_block
@@ -209,10 +202,40 @@ def _trace_scatter_batch(origins, directions, t_min, t_max,
                 jnp.where(jnp.isfinite(t[rows, best]),
                           tri_ids[best], -1))
 
-    t_pair, tri_pair = jax.vmap(intersect_block)(
-        po, pd, wald_blocks, tri_blocks, ptmin, ptmax)
-    t_pair = t_pair.reshape(-1)
-    tri_pair = tri_pair.reshape(-1)
+    # Chunk the [blocks, P, G*S] sweep so the per-step intermediates stay
+    # bounded (~16M lanes); an unchunked vmap materializes the whole
+    # [blocks, P, G*S, 3] Wald product in HBM and OOMs at scale.
+    nblk = tp // p
+    gs = sc.tris_per_group
+    chunk = max(1, min(nblk, (1 << 24) // max(p * gs, 1)))
+    nchunks = (nblk + chunk - 1) // chunk
+    pad_blk = nchunks * chunk - nblk
+    ray_mat = safe_ray.reshape(nblk, p)
+    live_mat = live.reshape(nblk, p)
+    bsc = block_sc
+    if pad_blk:
+        ray_mat = jnp.concatenate(
+            [ray_mat, jnp.zeros((pad_blk, p), ray_mat.dtype)])
+        live_mat = jnp.concatenate(
+            [live_mat, jnp.zeros((pad_blk, p), bool)])
+        bsc = jnp.concatenate([bsc, jnp.zeros((pad_blk,), bsc.dtype)])
+
+    def sweep_chunk(args):
+        rays_c, live_c, bsc_c = args  # [chunk, P], [chunk, P], [chunk]
+        po = origins[rays_c]  # [chunk, P, 3]
+        pd = directions[rays_c]
+        ptmin = jnp.where(live_c, t_min[rays_c], 0.0)
+        ptmax = jnp.where(live_c, t_max[rays_c], -1.0)
+        wald_c = sc.wald[bsc_c]  # [chunk, 4, G*3*S]
+        tri_c = sc.tri_index[bsc_c]  # [chunk, G*S]
+        return jax.vmap(intersect_block)(po, pd, wald_c, tri_c, ptmin, ptmax)
+
+    t_pair, tri_pair = jax.lax.map(
+        sweep_chunk, (ray_mat.reshape(nchunks, chunk, p),
+                      live_mat.reshape(nchunks, chunk, p),
+                      bsc.reshape(nchunks, chunk)))
+    t_pair = t_pair.reshape(-1)[:tp]
+    tri_pair = tri_pair.reshape(-1)[:tp]
     hit_pair = (tri_pair >= 0) & live
 
     if any_hit:
