@@ -32,6 +32,25 @@ from pathlib import Path
 BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md, ladder config 3)
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: the bench's stages are dominated
+    by multi-minute compiles of the big 1080p/4K frame programs, and every
+    process start repaid them from scratch. With the on-disk cache a
+    warmed stage's compile collapses to a cache read, so repeated bench
+    runs (and the driver's round-end run) measure the hardware, not the
+    compiler. Safe to call before or after other jax imports."""
+    import jax
+
+    try:
+        cache = Path(__file__).resolve().parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs: compile-cache is best-effort
+
+
 def _build(scene_kind: str, width: int, height: int, backend: str,
            tracer_opts: dict | None = None):
     import jax  # noqa: F401
@@ -494,6 +513,7 @@ def _run_scaling_inner(width: int, height: int, frames: int,
 
 
 def main():
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
                         help="tiny fast run (CPU-friendly)")
