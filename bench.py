@@ -26,6 +26,7 @@ import argparse
 import json
 import sys
 import tempfile
+import threading
 import time
 from pathlib import Path
 
@@ -33,22 +34,85 @@ BASELINE_MRAYS = 200.0  # north-star target (BASELINE.md, ladder config 3)
 
 
 def enable_compile_cache():
-    """Persistent XLA compilation cache: the bench's stages are dominated
-    by multi-minute compiles of the big 1080p/4K frame programs, and every
-    process start repaid them from scratch. With the on-disk cache a
-    warmed stage's compile collapses to a cache read, so repeated bench
-    runs (and the driver's round-end run) measure the hardware, not the
-    compiler. Safe to call before or after other jax imports."""
-    import jax
+    """Back-compat shim; the real implementation lives in the package
+    (raytracer2_tpu/compile_cache.py, ADVICE r3)."""
+    from raytracer2_tpu.compile_cache import enable_compile_cache as impl
 
+    return impl()
+
+
+# ---------------------------------------------------------------------------
+# Device->host transfer guard (VERDICT r3 weak #1: on this box's TPU relay
+# every readback can hang FOREVER while compute + block_until_ready stay
+# fine; the round-3 bench died in a setup readback before its first output
+# line). Every readback in this file goes through guarded_readback(): the
+# transfer runs in a daemon thread with a deadline, a stall flips the global
+# kill switch, and every later readback short-circuits to its fallback so
+# the bench still emits nominal (block_until_ready-timed) numbers.
+# ---------------------------------------------------------------------------
+
+_readback_state = {"ok": None}  # None = unprobed, True/False after
+READBACK_TIMEOUT = 60.0  # per-transfer deadline (tests shrink this)
+PROBE_TIMEOUT = 90.0  # first-transfer deadline (~20 s tunnel warm-up)
+
+
+def _raw_readback(x):
+    """The one raw device->host transfer point (monkey-patchable in tests
+    to simulate a hard-stalled relay)."""
+    import numpy as np
+
+    return np.asarray(x)
+
+
+def guarded_readback(x, timeout: float | None = None, default=None):
+    """np.asarray(x) with a deadline. On stall: flips the kill switch,
+    returns `default`. After a stall every call returns `default`
+    immediately (no thread pile-up)."""
+    if timeout is None:
+        timeout = READBACK_TIMEOUT
+    if _readback_state["ok"] is False:
+        return default
+    box: dict = {}
+
+    def work():
+        try:
+            box["v"] = _raw_readback(x)
+        except Exception as e:  # noqa: BLE001
+            box["e"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout)
+    if "v" in box:
+        if _readback_state["ok"] is None:
+            _readback_state["ok"] = True
+        return box["v"]
+    if t.is_alive():  # hard stall: disable all future readbacks
+        _readback_state["ok"] = False
+        print("bench: device->host transfer stalled "
+              f"({timeout:.0f}s); readback-dependent fields disabled",
+              file=sys.stderr, flush=True)
+    return default
+
+
+def readback_ok(probe_timeout: float | None = None) -> bool:
+    """One-time startup probe: a 1-element readback of a COMPUTED device
+    value with a generous deadline (first transfer through the relay can
+    take ~20 s of tunnel warm-up even when healthy)."""
+    if probe_timeout is None:
+        probe_timeout = PROBE_TIMEOUT
+    if _readback_state["ok"] is not None:
+        return _readback_state["ok"]
     try:
-        cache = Path(__file__).resolve().parent / ".jax_cache"
-        cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # older jax without the knobs: compile-cache is best-effort
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((4,), jnp.float32) + 1.0
+        jax.block_until_ready(x)
+    except Exception:  # noqa: BLE001 — no device at all
+        _readback_state["ok"] = False
+        return False
+    return guarded_readback(x, timeout=probe_timeout) is not None
 
 
 def _build(scene_kind: str, width: int, height: int, backend: str,
@@ -126,13 +190,17 @@ def run_reference(width: int, height: int, spp: int, bounces: int,
         lives.append(live)  # device values; read back after timing
     jax.block_until_ready(img)
     elapsed = time.perf_counter() - t0
-    total_live = sum(int(v) for v in lives)
+    # ONE guarded readback for all frames' live-ray counters; on a stalled
+    # relay the nominal number (block_until_ready timing) still reports
+    live_arr = guarded_readback(jnp.stack(lives))
+    total_live = int(live_arr.sum()) if live_arr is not None else None
 
     nominal = width * height * spp * bounces * frames
     mrays = nominal / elapsed / 1e6
     return {
         "mrays_nominal": round(mrays, 3),
-        "mrays_live": round(total_live / elapsed / 1e6, 3),
+        "mrays_live": (round(total_live / elapsed / 1e6, 3)
+                       if total_live is not None else None),
         "scene": scene_kind,
         "triangles": scene.num_triangles,
         "resolution": f"{width}x{height}",
@@ -214,7 +282,7 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
     # overflowed the per-bundle candidate budget somewhere (possible
     # silent misses) — tune k_cand/cluster_size until False
     overflow = None
-    if renderer.tracers.overflow_probe is not None:
+    if renderer.tracers.overflow_probe is not None and readback_ok():
         from raytracer2_tpu.render import rays as raysmod
 
         # probe the primaries the way gbuffer_pass traces them: in the
@@ -229,9 +297,12 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
                                             tiles[0])
         else:
             zidx, _ = raysmod.zorder_permutation(width, height)
-        overflow = bool(renderer.tracers.overflow_probe(
+        flag = renderer.tracers.overflow_probe(
             probe_rays.origin[zidx], probe_rays.direction[zidx],
-            probe_rays.t_min, probe_rays.t_max, presorted=True))
+            probe_rays.t_min, probe_rays.t_max, presorted=True)
+        jax.block_until_ready(flag)
+        v = guarded_readback(flag)
+        overflow = bool(v) if v is not None else None
 
     out = {
         "p50_ms": round(p50, 2),
@@ -339,8 +410,11 @@ def run_flythrough(width: int = 3840, height: int = 2160,
         "triangles": int(scene.num_triangles),
         "platform": jax.default_backend(),
     }
-    img_np = np.asarray(img)
-    out["image_finite"] = bool(np.isfinite(img_np).all())
+    # finite-check reduced on device: only one scalar crosses the relay
+    fin = jax.jit(lambda a: jnp.isfinite(a).all())(img)
+    jax.block_until_ready(fin)
+    v = guarded_readback(fin)
+    out["image_finite"] = bool(v) if v is not None else None
     return out
 
 
@@ -365,6 +439,11 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
         PostProcessInputs, post_process)
     from raytracer2_tpu.render.reference import render_reference
 
+    if not readback_ok():
+        # the final RMSE scalars must cross the relay; don't spend
+        # minutes rendering what can never be reported
+        return {"error": "skipped: device->host transfers stalled"}
+
     scene, renderer, cam = _build(scene_kind, size, size, backend)
     view = cam.planar_view_constants()
     n_lights = renderer.scene_lights.num_local_lights
@@ -373,14 +452,17 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
     fn_o = jax.jit(lambda gc: render_reference(
         scene, gc, size, size, max_bounces=2, max_samples=oracle_spp,
         trace_fn=renderer.tracers.closest_hit, emission_facing="front"))
-    acc_a = np.zeros((size, size, 3), np.float32)
-    acc_b = np.zeros((size, size, 3), np.float32)
+    # oracle accumulation stays ON DEVICE (VERDICT r3 weak #1: the old
+    # per-frame np.asarray made 128 transfers through the relay; now only
+    # three scalars cross at the end)
+    acc_a = jnp.zeros((size, size, 3), jnp.float32)
+    acc_b = jnp.zeros((size, size, 3), jnp.float32)
     for f in range(oracle_frames):
-        img_f = np.asarray(fn_o(g1.replace(frame=jnp.uint32(f))))
+        img_f = fn_o(g1.replace(frame=jnp.uint32(f)))
         if f % 2 == 0:
-            acc_a += img_f
+            acc_a = acc_a + img_f
         else:
-            acc_b += img_f
+            acc_b = acc_b + img_f
     half_a = acc_a / max(oracle_frames - oracle_frames // 2, 1)
     half_b = acc_b / max(oracle_frames // 2, 1)
     acc = (acc_a + acc_b) / oracle_frames
@@ -389,15 +471,15 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
     def display(linear):
         out, _ = post_process(scene, g1, PostProcessInputs(
             depth=jnp.zeros((size, size)), diffuse_albedo=z, specular_f0=z,
-            emissive=z, diffuse=jnp.asarray(linear), specular=z))
-        return np.asarray(out)
+            emissive=z, diffuse=linear, specular=z))
+        return out
 
     oracle = display(acc)
     # split-half noise floor: RMSE between two independent oracle halves
     # bounds what ANY estimator can score against this oracle (the
     # full-mean comparison floor is ~this / sqrt(2) / sqrt(2))
-    oracle_noise = float(np.sqrt(np.mean(
-        (display(half_a) - display(half_b)) ** 2)))
+    oracle_noise_dev = jnp.sqrt(jnp.mean(
+        (display(half_a) - display(half_b)) ** 2))
 
     g = default_gconst(view, n_lights,
                        enable_restir_di=1, enable_restir_gi=0,
@@ -416,9 +498,16 @@ def run_rmse(size: int = 256, restir_frames: int = 400,
         state, img = fn(g.replace(
             frame=jnp.uint32(f), blend_factor=jnp.float32(1.0 / (f + 1))),
             state)
-    img = np.asarray(img)
-    rmse = float(np.sqrt(np.mean((oracle - img) ** 2)))
-    ratio = float(img.mean() / max(oracle.mean(), 1e-9))
+    stats = jnp.stack([
+        jnp.sqrt(jnp.mean((oracle - img) ** 2)),
+        oracle_noise_dev,
+        img.mean() / jnp.maximum(oracle.mean(), 1e-9)])
+    jax.block_until_ready(stats)
+    host = guarded_readback(stats)
+    if host is None:
+        return {"error": "readback stalled; rmse unmeasurable",
+                "size": size, "restir_frames": restir_frames}
+    rmse, oracle_noise, ratio = (float(v) for v in np.asarray(host))
     return {
         "rmse": round(rmse, 5),
         "oracle_noise_rmse": round(oracle_noise, 5),
@@ -519,6 +608,13 @@ def main():
                         help="tiny fast run (CPU-friendly)")
     parser.add_argument("--quick", action="store_true",
                         help="only the 256x256 round-1-comparable config")
+    parser.add_argument("--budget-s", type=float,
+                        default=float(__import__("os").environ.get(
+                            "RT2_BENCH_BUDGET_S", 5400)),
+                        help="total wall-clock budget; stages that would "
+                             "overrun are skipped so the final headline "
+                             "line always prints (default 5400s / env "
+                             "RT2_BENCH_BUDGET_S)")
     parser.add_argument("--mode", default="all",
                         # also: duck | emissive | flythrough (BASELINE
                         # ladder configs 2/4/5)
@@ -556,6 +652,17 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.mode == "_scaling_inner":
+        print(json.dumps(_run_scaling_inner(
+            args.width or 64, args.height or 64, args.frames or 2,
+            args.scene or "corridor")))
+        return 0
+
+    start = time.monotonic()
+
+    def remaining() -> float:
+        return args.budget_s - (time.monotonic() - start)
+
     detail: dict = {}
 
     def ref_cfg(**kw):
@@ -573,30 +680,46 @@ def main():
         # after another process exits; retry once on runtime errors.
         # A stage that fails twice reports its error instead of killing
         # the whole bench (later stages still run).
+        t0 = time.monotonic()
         try:
-            return fn(**cfg)
+            out = fn(**cfg)
         except Exception as e:  # noqa: BLE001
             print(f"bench attempt failed ({type(e).__name__}); retrying",
                   file=sys.stderr)
             time.sleep(30)
             try:
-                return fn(**cfg)
+                out = fn(**cfg)
             except Exception as e2:  # noqa: BLE001
                 print(f"bench stage failed: {e2!r}"[:500], file=sys.stderr)
-                return {"error": f"{type(e2).__name__}: {e2}"[:200]}
+                out = {"error": f"{type(e2).__name__}: {e2}"[:200]}
+        if isinstance(out, dict):
+            out.setdefault("stage_seconds", round(time.monotonic() - t0, 1))
+        return out
+
+    def best_headline():
+        """Best available headline for an 'all' run: ladder Mrays/s once
+        measured, the quick config's before that."""
+        v = detail.get("ladder", {}).get("mrays_nominal")
+        if v is not None:
+            return ("ladder_reference_mrays_per_sec_per_chip", v)
+        v = detail.get("quick", {}).get("mrays_nominal")
+        if v is not None:
+            return ("reference_path_tracer_mrays_per_sec_per_chip", v)
+        return None
 
     def provisional():
-        # checkpoint line after every completed stage: if a later (slow)
-        # stage is cut short by an external timeout, the last complete
-        # stdout line still carries the headline metric + all finished
-        # stage details
+        # checkpoint line after EVERY completed stage — the very first
+        # (quick, within minutes of start) already carries a valid
+        # headline, so an external timeout can no longer eat the round's
+        # number (VERDICT r3 next-round #1)
         if args.mode != "all":
             return
-        v = detail.get("ladder", {}).get("mrays_nominal")
-        if v is None:
+        h = best_headline()
+        if h is None:
             return
+        name, v = h
         print(json.dumps({
-            "metric": "ladder_reference_mrays_per_sec_per_chip",
+            "metric": name,
             "value": v, "unit": "Mrays/s",
             "vs_baseline": round(v / BASELINE_MRAYS, 4),
             "detail": dict(detail, provisional=True),
@@ -615,96 +738,94 @@ def main():
         headline = ("reference_path_tracer_mrays_per_sec_per_chip",
                     detail["quick"].get("mrays_nominal", 0.0))
     else:
-        if args.mode in ("all", "reference"):
-            detail["quick"] = attempt(run_reference, **ref_cfg(
+        topts = {}
+        for kv in args.tracer_opt:
+            k, _, v = kv.partition("=")
+            topts[k] = int(v) if v.lstrip("-").isdigit() else v
+        topts = topts or None
+        W, H = args.width or 1920, args.height or 1080
+
+        def pipe_cfg(**kw):
+            cfg = dict(width=W, height=H, frames=args.frames or 8,
+                       scene_kind=args.scene or "ladder",
+                       backend=args.backend, per_pass=False,
+                       tracer_opts=topts)
+            cfg.update(kw)
+            return cfg
+
+        # ordered (key, est_seconds, thunk): importance-first so the
+        # headline prints early and slow stages can be budget-skipped.
+        # Estimates assume a cold compile cache; actual per-stage wall
+        # time is recorded as stage_seconds for calibration.
+        stages = [
+            ("quick", 300, lambda: attempt(run_reference, **ref_cfg(
                 width=256, height=256, spp=2, bounces=3, frames=8,
-                scene_kind="corridor"))
-            detail["ladder"] = attempt(run_reference, **ref_cfg(
+                scene_kind="corridor"))),
+            ("ladder", 480, lambda: attempt(run_reference, **ref_cfg(
                 width=1920, height=1080, spp=8, bounces=5, frames=2,
-                scene_kind="ladder"))
-            provisional()
-        if args.mode in ("all", "pipeline"):
-            topts = {}
-            for kv in args.tracer_opt:
-                k, _, v = kv.partition("=")
-                topts[k] = int(v) if v.lstrip("-").isdigit() else v
-            topts = topts or None
-            per_pass = args.per_pass
-            if per_pass is None:
-                per_pass = True  # always record the breakdown (VERDICT r2)
-            detail["pipeline"] = attempt(
-                run_pipeline,
-                width=args.width or 1920, height=args.height or 1080,
-                frames=args.frames or 8,
-                scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=per_pass,
-                tracer_opts=topts)
-            # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
-            # lighting rays per frame, alternating fields
-            detail["pipeline_checkerboard"] = attempt(
-                run_pipeline,
-                width=args.width or 1920, height=args.height or 1080,
-                frames=args.frames or 8,
-                scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=False, checkerboard=True,
-                tracer_opts=topts)
+                scene_kind="ladder"))),
             # flagship DI+GI frame (what `app.py` renders by default)
-            detail["pipeline_di"] = attempt(
-                run_pipeline,
-                width=args.width or 1920, height=args.height or 1080,
-                frames=args.frames or 8,
-                scene_kind=args.scene or "ladder",
-                backend=args.backend, per_pass=False, enable_di=True,
-                tracer_opts=topts)
-            provisional()
-        if args.mode in ("all", "rmse"):
-            detail["rmse"] = attempt(run_rmse, backend=args.backend)
-            provisional()
-        if args.mode == "all":
-            # the same gate on the textured many-light corridor (the
-            # BASELINE ladder scene family) — cornell stays the headline
-            # (its transport matching is test-validated)
-            detail["rmse_corridor"] = attempt(
-                run_rmse, backend=args.backend, scene_kind="corridor")
-            provisional()
-        if args.mode == "_scaling_inner":
-            print(json.dumps(_run_scaling_inner(
-                args.width or 64, args.height or 64, args.frames or 2,
-                args.scene or "corridor")))
-            return
-        if args.mode in ("all", "scaling"):
-            detail["scaling"] = attempt(
-                run_scaling,
-                width=args.width or 64, height=args.height or 64,
-                frames=args.frames or 2,
-                scene_kind=args.scene or "corridor") \
-                if args.mode == "scaling" else attempt(run_scaling)
-            provisional()
-        if args.mode in ("all", "duck"):
+            ("pipeline_di", 720, lambda: attempt(
+                run_pipeline, **pipe_cfg(enable_di=True))),
+            # per-pass only when explicitly asked or in single-stage
+            # pipeline mode ('all' runs the breakdown as its own late
+            # stage instead)
+            ("pipeline", 480, lambda: attempt(run_pipeline, **pipe_cfg(
+                per_pass=(args.per_pass if args.per_pass is not None
+                          else args.mode == "pipeline")))),
+            ("rmse", 720, lambda: attempt(run_rmse, backend=args.backend)),
             # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
-            detail["duck"] = attempt(run_reference, **ref_cfg(
+            ("duck", 300, lambda: attempt(run_reference, **ref_cfg(
                 width=args.width or 512, height=args.height or 512,
                 spp=args.spp or 4, bounces=args.bounces or 3,
-                frames=args.frames or 4, scene_kind="duck"))
-            provisional()
-        if args.mode in ("all", "emissive"):
+                frames=args.frames or 4, scene_kind="duck"))),
+            # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
+            # lighting rays per frame, alternating fields
+            ("pipeline_checkerboard", 480, lambda: attempt(
+                run_pipeline, **pipe_cfg(checkerboard=True))),
+            ("scaling", 900, lambda: attempt(run_scaling)),
             # BASELINE config 4: 1k+ area lights through the DI
-            # reservoir path (presample + PDF mips built at renderer
-            # creation)
-            detail["emissive"] = attempt(
-                run_pipeline,
-                width=args.width or 1920, height=args.height or 1080,
+            # reservoir path (presample + PDF mips at renderer creation)
+            ("emissive", 600, lambda: attempt(run_pipeline, **pipe_cfg(
                 frames=args.frames or 4, scene_kind="emissive",
-                backend=args.backend, per_pass=False, enable_di=True)
-            provisional()
-        if args.mode in ("all", "flythrough"):
+                enable_di=True))),
+            # the RMSE gate on the textured many-light corridor (the
+            # BASELINE ladder scene family) — cornell stays the headline
+            # (its transport matching is test-validated)
+            ("rmse_corridor", 720, lambda: attempt(
+                run_rmse, backend=args.backend, scene_kind="corridor")),
+            # cumulative-prefix per-pass breakdown (compiles one program
+            # per pass prefix — the slowest stage, so it runs late)
+            ("pipeline_breakdown", 900, lambda: attempt(
+                run_pipeline, **pipe_cfg(per_pass=True))),
             # BASELINE config 5: 4K fly-through, DI+GI + accumulation
-            detail["flythrough_4k"] = attempt(
+            ("flythrough_4k", 900, lambda: attempt(
                 run_flythrough,
                 width=args.width or 3840, height=args.height or 2160,
                 frames=args.frames or 3,
                 scene_kind=args.scene or "ladder",
-                backend=args.backend)
+                backend=args.backend)),
+        ]
+        mode_stage = {  # single-stage modes reuse the same thunks
+            "reference": ("quick", "ladder"),
+            "pipeline": ("pipeline", "pipeline_checkerboard",
+                         "pipeline_di"),
+            "rmse": ("rmse",), "scaling": ("scaling",), "duck": ("duck",),
+            "emissive": ("emissive",), "flythrough": ("flythrough_4k",),
+        }
+        for key, est, thunk in stages:
+            if args.mode != "all" and key not in mode_stage.get(
+                    args.mode, ()):
+                continue
+            if args.mode == "all" and remaining() < est:
+                detail[key] = {"skipped": (
+                    f"budget: {remaining():.0f}s left < ~{est}s estimate")}
+                print(f"bench: skipping {key} (budget)", file=sys.stderr,
+                      flush=True)
+                continue
+            detail[key] = thunk()
+            provisional()
+
         if args.mode == "scaling":
             headline = ("cpu_mesh_halo_8dev_frame_ms",
                         detail["scaling"].get("halo_8dev_ms", 0.0))
@@ -729,6 +850,8 @@ def main():
         else:  # ladder failed: fall back to the quick number
             headline = ("reference_path_tracer_mrays_per_sec_per_chip",
                         detail.get("quick", {}).get("mrays_nominal", 0.0))
+        detail["readback_ok"] = _readback_state["ok"]
+        detail["total_seconds"] = round(time.monotonic() - start, 1)
 
     name, value = headline
     if "p50" in name or name.endswith("_ms"):

@@ -175,16 +175,11 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    # persistent XLA compile cache (bench.enable_compile_cache): the
-    # 1080p frame programs take minutes to compile; cache them on disk
-    # so repeated renders pay it once per machine, not once per process
-    try:
-        import sys as _sys
-        _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-        from bench import enable_compile_cache
-        enable_compile_cache()
-    except Exception:
-        pass
+    # persistent XLA compile cache: the 1080p frame programs take minutes
+    # to compile; cache them on disk so repeated renders pay it once per
+    # machine, not once per process
+    from raytracer2_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from PIL import Image
 
     from raytracer2_tpu.params import default_gconst

@@ -121,10 +121,16 @@ def make_regir_params(scene: Scene, cells: tuple[int, int, int] = (16, 16, 16),
 
     from raytracer2_tpu.restir.regir import ReGIRGridParameters
 
-    lo = np.asarray(jnp.min(scene.tri_v0, axis=0)) if scene.num_triangles \
-        else np.zeros(3)
-    hi = np.asarray(jnp.max(scene.tri_v0, axis=0)) if scene.num_triangles \
-        else np.ones(3)
+    # scene AABB from the host triangle copy when available: a device
+    # min/max readback here stalls through this box's TPU relay
+    if scene.num_triangles and scene.host_tri_v0 is not None:
+        lo = scene.host_tri_v0.min(axis=0)
+        hi = scene.host_tri_v0.max(axis=0)
+    elif scene.num_triangles:
+        lo = np.asarray(jnp.min(scene.tri_v0, axis=0))
+        hi = np.asarray(jnp.max(scene.tri_v0, axis=0))
+    else:
+        lo, hi = np.zeros(3), np.ones(3)
     center = 0.5 * (lo + hi)
     cell = float(np.max((hi - lo) / np.asarray(cells))) or 1.0
     return ReGIRGridParameters(
