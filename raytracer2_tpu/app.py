@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable-restir-gi", type=int, default=1)
     p.add_argument("--enable-temporal-resampling", type=int, default=0)
     p.add_argument("--enable-spatial-resampling", type=int, default=0)
+    p.add_argument("--di-resampling", default="off",
+                   choices=["off", "temporal", "spatial", "spatiotemporal"],
+                   help="DI reservoir reuse in the fused pass; 'off' is "
+                        "the reference quirk (the spatio-temporal call is "
+                        "commented out, di_fused_resampling.rgen:69-70)")
     p.add_argument("--enable-accumulation", type=int, default=0)
     p.add_argument("--blend-factor", type=float, default=0.1)
     p.add_argument("--environment", type=int, default=None,
@@ -225,6 +230,8 @@ def main(argv=None) -> int:
         textures=args.textures,
         environment=environment,
         blend_factor=jnp.float32(args.blend_factor),
+        enable_di_resampling={"off": 0, "temporal": 1, "spatial": 2,
+                              "spatiotemporal": 3}[args.di_resampling],
     )
 
     if args.local_light_sampling_mode is not None:

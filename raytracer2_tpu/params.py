@@ -335,6 +335,13 @@ class GConst:
     enable_spatial_resampling: int = 0
     enable_temporal_resampling: int = 0
     environment: int = 0
+    # DI spatio-temporal resampling in the fused pass: the reference
+    # compiles RTXDI_DISpatioTemporalResampling into its pipeline but
+    # COMMENTS OUT the call (di_fused_resampling.rgen:69-70), so 0 is the
+    # parity default. 1 = temporal, 2 = spatial, 3 = both (the library
+    # path DIResamplingFunctions.hlsli:170/504 made executable,
+    # VERDICT r3 #4). Above-parity capability like ReGIR.
+    enable_di_resampling: int = 0
 
     light_buffer_params: LightBufferParameters = dataclasses.field(
         default_factory=LightBufferParameters)

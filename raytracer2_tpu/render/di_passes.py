@@ -37,13 +37,21 @@ def di_fused_resampling_pass(
     row0=0,
     field: int = 0,
     primary_surface=None,
+    motion=None,
+    prev_di_reservoirs=None,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
     """Returns (reservoirs for the shading-input slot, diffuse,
     specular) — [H, W] arrays, or [H, W//2] under checkerboard
     (field != 0), where only the active half-field is sampled and
     shaded (di_fused_resampling.rgen:19). primary_surface: the
     gather-free launch-grid surface (surface_from_gbuffer_grid),
-    computed once per frame by render_frame."""
+    computed once per frame by render_frame.
+
+    GConst.enable_di_resampling != 0 turns the reference's commented-out
+    spatio-temporal call (di_fused_resampling.rgen:69-70) back ON through
+    the library path (restir/di_resampling.py, VERDICT r3 #4): 1 =
+    temporal (needs `motion` + `prev_di_reservoirs`), 2 = spatial,
+    3 = both."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
 
@@ -84,16 +92,61 @@ def di_fused_resampling_pass(
         vis_known = visible
 
     # spatio-temporal resampling: commented out in the reference
-    # (di_fused_resampling.rgen:69-70) — quirk preserved.
+    # (di_fused_resampling.rgen:69-70) — quirk preserved at mode 0; modes
+    # 1/2/3 run the library's temporal/spatial/both stages
+    # (DIResamplingFunctions.hlsli:170/504 made executable)
+    mode = int(g_const.enable_di_resampling)
+    trp = g_const.restir_di.temporal_resampling_params
+    if mode in (1, 3) and prev_di_reservoirs is not None \
+            and motion is not None:
+        from raytracer2_tpu.restir.di_resampling import (
+            DITemporalSpec, di_temporal_resampling)
+
+        t_spec = DITemporalSpec(
+            max_history_length=trp.max_history_length,
+            bias_correction_mode=trp.temporal_bias_correction,
+            depth_threshold=trp.temporal_depth_threshold,
+            normal_threshold=trp.temporal_normal_threshold,
+            enable_visibility_shortcut=bool(trp.discard_invisible_samples),
+            enable_permutation_sampling=bool(
+                trp.enable_permutation_sampling),
+            active_checkerboard_field=field)
+        reservoir, rng = di_temporal_resampling(
+            px, py, surface, reservoir, rng, t_spec, motion,
+            trp.uniform_random_number, prev_di_reservoirs, bridge)
+        vis_known = None  # the selected sample may no longer be ours
 
     # DI boiling filter (DIResamplingFunctions.hlsli:101-116): applied to
     # the temporal stage's reservoir image when enabled (default off, like
     # the reference's RTXDI_ENABLE_BOILING_FILTER compile switch)
-    trp = g_const.restir_di.temporal_resampling_params
     if trp.enable_boiling_filter:
         from raytracer2_tpu.restir.di_resampling import di_boiling_filter
 
         reservoir = di_boiling_filter(reservoir, trp.boiling_filter_strength)
+
+    if mode in (2, 3):
+        from raytracer2_tpu.restir.di_resampling import (
+            DISpatialSpec, di_spatial_resampling)
+
+        srp = g_const.restir_di.spatial_resampling_params
+        s_spec = DISpatialSpec(
+            num_samples=srp.num_spatial_samples,
+            num_disocclusion_boost_samples=(
+                srp.num_disocclusion_boost_samples),
+            target_history_length=trp.max_history_length,
+            bias_correction_mode=srp.spatial_bias_correction,
+            sampling_radius=srp.spatial_sampling_radius,
+            depth_threshold=srp.spatial_depth_threshold,
+            normal_threshold=srp.spatial_normal_threshold,
+            discount_naive_samples=bool(srp.discount_naive_samples),
+            active_checkerboard_field=field,
+            neighbor_offset_mask=srp.neighbor_offset_mask)
+        # the source buffer for neighbor gathers is this frame's reservoir
+        # image itself (the whole-grid vectorized analogue of the spatial
+        # pass reading its own input buffer)
+        reservoir, rng = di_spatial_resampling(
+            px, py, surface, reservoir, rng, s_spec, reservoir, bridge)
+        vis_known = None
 
     valid = dires.is_valid(reservoir)
     reservoir_shaded, diffuse, specular, _ = shade_surface_with_light_sample(

@@ -311,14 +311,23 @@ def render_frame(renderer: Renderer, g_const: GConst,
     di_slots = list(state.di_reservoirs)
     secondary = state.secondary
 
-    # 2. DI fused resampling (light_passes.rs:608-619)
+    # 2. DI fused resampling (light_passes.rs:608-619); with
+    # enable_di_resampling != 0 the library's temporal/spatial stages run
+    # inside it (the reference's commented-out call made executable) —
+    # this frame's shaded reservoir then ping-pongs into the temporal
+    # input slot for next frame (the functional XOR-swap, main.rs:649-651)
     if g_const.enable_restir_di:
+        di_idx = g_const.restir_di.buffer_indices
         di_res, diffuse, specular = di_fused_resampling_pass(
             g_const, bridge, light_ctx, diffuse, specular, width,
             height_local, row0=row0, field=field,
-            primary_surface=primary_surface)
-        di_slots[g_const.restir_di.buffer_indices.shading_input_buffer_index] \
-            = di_res
+            primary_surface=primary_surface,
+            motion=motion_act,
+            prev_di_reservoirs=state.di_reservoirs[
+                di_idx.temporal_resampling_input_buffer_index])
+        di_slots[di_idx.shading_input_buffer_index] = di_res
+        if g_const.enable_di_resampling:
+            di_slots[di_idx.temporal_resampling_input_buffer_index] = di_res
     if stop_after == "di":
         return state, (diffuse, specular)
 

@@ -103,9 +103,10 @@ def di_temporal_resampling(
     prev_reservoirs: DIReservoir,  # [H, W]
     bridge: Bridge,
 ) -> tuple[DIReservoir, rtrng.RngState]:
-    """RTXDI_DITemporalResampling (DIResamplingFunctions.hlsli:170-360)."""
+    """RTXDI_DITemporalResampling (DIResamplingFunctions.hlsli:170-360).
+    px/py may be flat [N] or any pixel grid shape (e.g. [H, W])."""
     width, height = bridge.viewport
-    n = px.shape[0]
+    shape = px.shape
     f32 = jnp.float32
 
     bias_mode = spec.bias_correction_mode
@@ -115,7 +116,7 @@ def di_temporal_resampling(
     history_limit = jnp.minimum(
         f32(MAX_M), spec.max_history_length * cur_sample.m)
 
-    state = empty_di_reservoir((n,))
+    state = empty_di_reservoir(shape)
     state, _ = combine_reservoirs(state, cur_sample, 0.5,
                                   cur_sample.target_pdf)
 
@@ -132,18 +133,18 @@ def di_temporal_resampling(
     expected_prev_depth = surface.view_depth + motion[..., 2]
     radius = 4.0 if spec.active_checkerboard_field == 0 else 8.0
 
-    found = jnp.zeros((n,), bool)
+    found = jnp.zeros(shape, bool)
     sel_x = prev_x
     sel_y = prev_y
     sel_surface = None
-    sel_offset = jnp.zeros((n, 2), jnp.int32)
+    sel_offset = jnp.zeros(shape + (2,), jnp.int32)
 
     # 9-candidate surface search (:220-254); draws 2 uniforms per i>0 —
     # GLSL lanes that break early stop drawing
     for i in range(9):
         if i == 0:
-            ox = jnp.zeros((n,), jnp.int32)
-            oy = jnp.zeros((n,), jnp.int32)
+            ox = jnp.zeros(shape, jnp.int32)
+            oy = jnp.zeros(shape, jnp.int32)
         else:
             rx_, adv = rtrng.sample_uniform(rng)
             rng = rtrng.RngState(
@@ -259,7 +260,7 @@ def di_spatial_resampling(
     from raytracer2_tpu.render.surface import clamp_sample_position_into_view
 
     width, height = bridge.viewport
-    n = px.shape[0]
+    shape = px.shape
     f32 = jnp.float32
 
     # note: the disocclusion boost expands the loop per-lane in the GLSL; we
@@ -274,7 +275,7 @@ def di_spatial_resampling(
 
     pairwise = spec.bias_correction_mode == helpers.BIAS_CORRECTION_PAIRWISE
 
-    state = empty_di_reservoir((n,))
+    state = empty_di_reservoir(shape)
     if pairwise:
         pass  # canonical streamed at the end (:420-421, 482-483)
     else:
@@ -284,10 +285,10 @@ def di_spatial_resampling(
     r0, rng = rtrng.sample_uniform(rng)
     start_idx = (r0 * spec.neighbor_offset_mask).astype(jnp.int32)
 
-    selected = jnp.full((n,), -1, jnp.int32)
+    selected = jnp.full(shape, -1, jnp.int32)
     cached = []
     neighbor_xy = []
-    valid_spatial = jnp.zeros((n,), jnp.int32)
+    valid_spatial = jnp.zeros(shape, jnp.int32)
 
     for i in range(max_samples):
         in_count = i < lane_samples

@@ -859,3 +859,100 @@ class TestOctZSortKey:
         m = ~np.asarray(ref.missed)
         np.testing.assert_array_equal(np.asarray(got.triangle_index)[m],
                                       np.asarray(ref.triangle_index)[m])
+
+
+class TestPairTracer:
+    """Pair-sweep engine parity (ops/pallas_pairs.py) vs brute force,
+    interpret mode (hardware runs are covered by scripts/pairs_ab.py and
+    the bench --backend pairs)."""
+
+    def _ps(self, scene, group=4, cluster_size=16):
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops.pallas_pairs import build_pair_scene
+
+        clusters = build_clusters(scene.tri_v0, scene.tri_edge1,
+                                  scene.tri_edge2,
+                                  cluster_size=cluster_size)
+        ps = build_pair_scene(clusters, scene.tri_geometry,
+                              scene.tri_primitive, group=group)
+        smin = jnp.min(clusters.aabb_min, 0)
+        smax = jnp.max(clusters.aabb_max, 0)
+        return ps, clusters, smin, smax
+
+    def test_closest_hit_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.pallas_pairs import closest_hit_pairs
+
+        ps, clusters, smin, smax = self._ps(sphere_scene)
+        origins, dirs = _random_rays(512, seed=51, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_pairs(
+            ps, clusters, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, origins, dirs, 1e-3,
+            jnp.full((512,), 1e5), smin, smax, k_cand=64,
+            interpret=True, fallback=False)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_allclose(np.asarray(got.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(got.triangle_index)[m],
+            np.asarray(ref.triangle_index)[m])
+
+    def test_occlusion_parity(self, sphere_scene):
+        from raytracer2_tpu.ops.pallas_pairs import occluded_pairs
+
+        ps, clusters, smin, smax = self._ps(sphere_scene)
+        origins, dirs = _random_rays(512, seed=53, spread=5.0)
+        rng = np.random.default_rng(9)
+        tmax = jnp.asarray(np.where(rng.uniform(size=512) < 0.5,
+                                    rng.uniform(0.5, 6.0, 512), 1e5),
+                           jnp.float32)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, tmax)
+        got = occluded_pairs(
+            ps, clusters, origins, dirs, 1e-3, tmax, smin, smax,
+            k_cand=64, interpret=True, fallback=False)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      ~np.asarray(ref.missed))
+
+    def test_dead_lanes_never_hit(self, sphere_scene):
+        from raytracer2_tpu.ops.pallas_pairs import closest_hit_pairs
+
+        ps, clusters, smin, smax = self._ps(sphere_scene)
+        origins, dirs = _random_rays(128, seed=55, spread=5.0)
+        tmax = jnp.where(jnp.arange(128) % 2 == 0, 1e5, -1.0)
+        got = closest_hit_pairs(
+            ps, clusters, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, origins, dirs, 1e-3, tmax,
+            smin, smax, k_cand=64, interpret=True, fallback=False)
+        dead = np.arange(128) % 2 == 1
+        assert np.all(np.asarray(got.missed)[dead])
+
+    def test_overflow_fallback_exact(self, sphere_scene):
+        """k_cand=1 truncates aggressively; the bundle-engine fallback
+        must restore exact parity."""
+        from raytracer2_tpu.ops.pallas_pairs import closest_hit_pairs
+
+        ps, clusters, smin, smax = self._ps(sphere_scene)
+        origins, dirs = _random_rays(256, seed=57, spread=5.0)
+        ref = intersect_brute_force(
+            origins, dirs, sphere_scene.tri_v0, sphere_scene.tri_edge1,
+            sphere_scene.tri_edge2, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, 1e-3, 1e5)
+        got = closest_hit_pairs(
+            ps, clusters, sphere_scene.tri_geometry,
+            sphere_scene.tri_primitive, origins, dirs, 1e-3,
+            jnp.full((256,), 1e5), smin, smax, k_cand=1,
+            interpret=True, fallback=True)
+        np.testing.assert_array_equal(np.asarray(got.missed),
+                                      np.asarray(ref.missed))
+        m = ~np.asarray(ref.missed)
+        np.testing.assert_array_equal(
+            np.asarray(got.triangle_index)[m],
+            np.asarray(ref.triangle_index)[m])
