@@ -3,8 +3,10 @@
 The reference loads an equirectangular EXR skybox via the `image` crate
 (src/main.rs:63, 145: image::open("src/models/skybox2.exr") -> RGBA32F
 upload). No EXR library ships in this environment, so this is a ground-up
-reader for the common scanline formats: NONE, RLE, ZIPS and ZIP compression,
-HALF/FLOAT/UINT channels. (PIZ/B44/DWA are not supported — convert offline.)
+reader for the common scanline formats: NONE, RLE, ZIPS, ZIP and PIZ
+compression (PIZ via scene/piz.py — wavelet + Huffman, the most common
+wild-skybox format; B44/DWA are not supported — convert offline),
+HALF/FLOAT/UINT channels.
 
 Returns [H, W, 3] float32 linear RGB.
 """
@@ -19,7 +21,8 @@ import numpy as np
 
 _MAGIC = 20000630
 _PIXEL_TYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
-_COMPRESSION_SCANLINES = {0: 1, 1: 1, 2: 1, 3: 16}  # none, rle, zips, zip
+# none, rle, zips, zip, piz -> scanlines per block
+_COMPRESSION_SCANLINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
 
 
 def _read_null_str(buf: bytes, off: int) -> tuple[str, int]:
@@ -98,7 +101,7 @@ def load_exr(path: str | Path) -> np.ndarray:
     compression = attrs["compression"][1][0]
     if compression not in _COMPRESSION_SCANLINES:
         raise ValueError(f"unsupported EXR compression {compression} "
-                         "(only none/rle/zips/zip)")
+                         "(only none/rle/zips/zip/piz)")
     lines_per_block = _COMPRESSION_SCANLINES[compression]
 
     n_blocks = (height + lines_per_block - 1) // lines_per_block
@@ -113,10 +116,16 @@ def load_exr(path: str | Path) -> np.ndarray:
         raw = buf[block_off + 8: block_off + 8 + size]
         n_lines = min(lines_per_block, y1 - y + 1)
         expected = bytes_per_line * n_lines
-        if compression == 0:
+        if compression == 0 or size >= expected:
+            # writers store a block RAW when compression didn't shrink it
+            # (OpenEXR readers detect this by size)
             data = raw
         elif compression == 1:
             data = _decode_rle(raw, expected)
+        elif compression == 4:
+            from raytracer2_tpu.scene.piz import piz_uncompress
+
+            data = piz_uncompress(raw, channels, width, n_lines)
         else:
             data = _reconstruct_zip(zlib.decompress(raw))
         pos = 0
@@ -136,10 +145,16 @@ def load_exr(path: str | Path) -> np.ndarray:
     return np.stack([plane("R"), plane("G"), plane("B")], axis=-1)
 
 
-def write_exr(path: str | Path, rgb: np.ndarray) -> None:
-    """Write [H, W, 3] float32 as an uncompressed scanline EXR (test fixture
-    generator and interchange output)."""
-    rgb = np.asarray(rgb, np.float32)
+def write_exr(path: str | Path, rgb: np.ndarray,
+              compression: str = "none",
+              dtype: str = "float32") -> None:
+    """Write [H, W, 3] as a scanline EXR (test fixture generator and
+    interchange output). compression: "none" or "piz"; dtype: "float32"
+    (FLOAT channels) or "float16" (HALF)."""
+    np_dtype = np.float16 if dtype == "float16" else np.float32
+    ptype = 1 if dtype == "float16" else 2
+    comp_id = {"none": 0, "piz": 4}[compression]
+    rgb = np.asarray(rgb, np_dtype)
     h, w, _ = rgb.shape
 
     def attr(name: str, atype: str, data: bytes) -> bytes:
@@ -148,13 +163,13 @@ def write_exr(path: str | Path, rgb: np.ndarray) -> None:
 
     chan = b""
     for cname in (b"B", b"G", b"R"):  # alphabetical storage order
-        chan += cname + b"\x00" + struct.pack("<iiii", 2, 0, 1, 1)
+        chan += cname + b"\x00" + struct.pack("<iiii", ptype, 0, 1, 1)
     chan += b"\x00"
 
     dw = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header = b""
     header += attr("channels", "chlist", chan)
-    header += attr("compression", "compression", b"\x00")
+    header += attr("compression", "compression", bytes([comp_id]))
     header += attr("dataWindow", "box2i", dw)
     header += attr("displayWindow", "box2i", dw)
     header += attr("lineOrder", "lineOrder", b"\x00")
@@ -163,19 +178,43 @@ def write_exr(path: str | Path, rgb: np.ndarray) -> None:
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\x00"
 
+    lines_per_block = _COMPRESSION_SCANLINES[comp_id]
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    channels = [("B", np_dtype), ("G", np_dtype), ("R", np_dtype)]
+
+    blocks = []
+    for b in range(n_blocks):
+        y = b * lines_per_block
+        n_lines = min(lines_per_block, h - y)
+        scan = bytearray()
+        for line in range(n_lines):
+            scan += rgb[y + line, :, 2].tobytes()  # B
+            scan += rgb[y + line, :, 1].tobytes()  # G
+            scan += rgb[y + line, :, 0].tobytes()  # R
+        scan = bytes(scan)
+        if comp_id == 4:
+            from raytracer2_tpu.scene.piz import piz_compress
+
+            packed = piz_compress(scan, channels, w, n_lines)
+            # store raw when compression didn't shrink the block (the
+            # reader detects this by size, like OpenEXR)
+            if len(packed) >= len(scan):
+                packed = scan
+        else:
+            packed = scan
+        blocks.append((y, packed))
+
     preamble = struct.pack("<iI", _MAGIC, 2) + header
-    table_off = len(preamble)
-    data_start = table_off + 8 * h
-    line_size = 8 + 3 * 4 * w
+    data_start = len(preamble) + 8 * n_blocks
 
     out = bytearray(preamble)
-    for y in range(h):
-        out += struct.pack("<Q", data_start + y * line_size)
-    for y in range(h):
-        out += struct.pack("<ii", y, 3 * 4 * w)
-        out += rgb[y, :, 2].tobytes()  # B
-        out += rgb[y, :, 1].tobytes()  # G
-        out += rgb[y, :, 0].tobytes()  # R
+    off = data_start
+    for y, packed in blocks:
+        out += struct.pack("<Q", off)
+        off += 8 + len(packed)
+    for y, packed in blocks:
+        out += struct.pack("<ii", y, len(packed))
+        out += packed
     Path(path).write_bytes(bytes(out))
 
 

@@ -28,3 +28,73 @@ def test_sky_exr_roundtrip(tmp_path):
     write_exr(p, sky)
     back = load_exr(p)
     np.testing.assert_allclose(back, sky, rtol=1e-6)
+
+
+class TestPiz:
+    """PIZ codec (scene/piz.py): unit round-trips of each stage + whole
+    files with HALF and FLOAT channels, odd sizes, multi-block images
+    (VERDICT r3 #8: wild skyboxes load like the reference's image::open,
+    /root/reference/src/main.rs:63)."""
+
+    def test_huffman_roundtrip(self):
+        from raytracer2_tpu.scene.piz import huf_compress, huf_uncompress
+
+        rng = np.random.default_rng(1)
+        # skewed distribution with runs (exercises the rlc path)
+        data = rng.choice([0, 0, 0, 1, 2, 7, 40000],
+                          size=5000).astype(np.uint16)
+        data[100:400] = 3  # long run
+        enc = huf_compress(data)
+        back = huf_uncompress(enc, data.shape[0])
+        np.testing.assert_array_equal(back, data)
+
+    def test_wavelet_roundtrip_odd_sizes(self):
+        from raytracer2_tpu.scene.piz import _wav2_xform
+
+        rng = np.random.default_rng(2)
+        for nx, ny in [(8, 8), (17, 13), (1, 9), (9, 1), (33, 32)]:
+            for mx in (1 << 13, 1 << 15):  # both 14-bit and 16-bit modes
+                a = rng.integers(0, mx, size=nx * ny).astype(np.uint16)
+                buf = a.copy()
+                _wav2_xform(buf, nx, 1, ny, nx, mx, encode=True)
+                _wav2_xform(buf, nx, 1, ny, nx, mx, encode=False)
+                np.testing.assert_array_equal(buf, a, err_msg=f"{nx}x{ny}")
+
+    def test_piz_block_roundtrip_half(self):
+        from raytracer2_tpu.scene.piz import piz_compress, piz_uncompress
+
+        rng = np.random.default_rng(3)
+        w, lines = 23, 11
+        channels = [("B", np.float16), ("G", np.float16),
+                    ("R", np.float16)]
+        img = np.exp(rng.normal(size=(lines, 3, w))).astype(np.float16)
+        scan = img.tobytes()
+        enc = piz_compress(scan, channels, w, lines)
+        back = piz_uncompress(enc, channels, w, lines)
+        assert back == scan
+
+    def test_piz_file_roundtrip_half(self, tmp_path):
+        from raytracer2_tpu.scene.exr import load_exr, write_exr
+
+        rng = np.random.default_rng(4)
+        img = np.exp(rng.normal(size=(40, 19, 3))).astype(np.float16)
+        p = tmp_path / "piz_half.exr"
+        write_exr(p, img, compression="piz", dtype="float16")
+        back = load_exr(p)
+        np.testing.assert_allclose(back, img.astype(np.float32), rtol=1e-6)
+
+    def test_piz_file_roundtrip_float_multiblock(self, tmp_path):
+        # > 32 lines -> multiple PIZ blocks; FLOAT channels (size=2 u16s)
+        rng = np.random.default_rng(5)
+        img = np.exp(rng.normal(size=(70, 9, 3))).astype(np.float32)
+        p = tmp_path / "piz_float.exr"
+        write_exr(p, img, compression="piz")
+        back = load_exr(p)
+        np.testing.assert_allclose(back, img, rtol=1e-6)
+
+    def test_piz_sky_roundtrip(self, tmp_path):
+        sky = procedural_sky(height=48).astype(np.float16)
+        p = tmp_path / "sky_piz.exr"
+        write_exr(p, sky, compression="piz", dtype="float16")
+        back = load_exr(p)
+        np.testing.assert_allclose(back, sky.astype(np.float32), rtol=1e-6)
