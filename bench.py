@@ -418,14 +418,20 @@ def run_flythrough(width: int = 3840, height: int = 2160,
     return out
 
 
-def run_rmse(size: int = 256, restir_frames: int = 400,
-             oracle_frames: int = 128, oracle_spp: int = 16,
+def run_rmse(size: int = 256, restir_frames: int = 768,
+             oracle_frames: int = 512, oracle_spp: int = 32,
              backend: str = "auto", scene_kind: str = "cornell") -> dict:
     """BASELINE.md's RMSE gate measured at TPU scale (VERDICT r2 #6):
     converged accumulated ReSTIR DI vs a transport-matched converged
     oracle (2 bounces, front-facing emission — the matching validated by
     tests/test_rmse.py::test_di_display_matches_oracle_strict), compared
-    on display images at `size`^2 on the Cornell box."""
+    on display images at `size`^2 on the Cornell box.
+
+    Budgets (VERDICT r3 #5: demonstrate the gate at face value): 512
+    oracle frames x 32 spp = 16384 spp drive the split-half noise floor
+    below the 1e-2 gate (floor ~ 0.024 at the round-3 2048-spp budget,
+    scaling ~ 1/sqrt(spp)); 768 accumulated ReSTIR frames push the
+    estimator's own residual below it too."""
     import dataclasses
 
     import numpy as np
@@ -594,6 +600,26 @@ def _run_scaling_inner(width: int, height: int, frames: int,
             init_frame_state(width, height), mesh))
         res[f"{name}_{n_dev}dev_ms"] = round(tn, 2)
         res[f"{name}_speedup_vs_1dev"] = round(t1 / max(tn, 1e-9), 3)
+        if halo:
+            # comm/halo accounting (VERDICT r3 #6): trace-time byte count
+            # plus a measured comm estimate — re-time at a 2-row halo and
+            # scale the delta to the full radius (the stencil compute is
+            # radius-independent; only the shipped rows change)
+            tel = dict(getattr(step, "halo_telemetry", {}))
+            res["halo_rows"] = tel.get("halo_rows")
+            res["halo_exchanges_per_frame"] = tel.get("halo_exchanges")
+            res["halo_kb_per_device_frame"] = round(
+                tel.get("halo_bytes_per_device_frame", 0) / 1024, 1)
+            r_full = tel.get("halo_rows") or 8
+            if r_full > 2:
+                step2 = make_sharded_render_fn(
+                    renderer, mesh, explicit_halo=True, halo_rows=2)
+                t2 = median_ms(step2, shard_frame_state(
+                    init_frame_state(width, height), mesh))
+                comm = max(tn - t2, 0.0) * r_full / (r_full - 2)
+                res["halo_comm_ms_estimate"] = round(comm, 2)
+                res["halo_comm_fraction_estimate"] = round(
+                    comm / max(tn, 1e-9), 4)
     if f"halo_{n_dev}dev_ms" in res and f"gspmd_{n_dev}dev_ms" in res:
         res["halo_vs_gspmd"] = round(
             res[f"gspmd_{n_dev}dev_ms"] / max(res[f"halo_{n_dev}dev_ms"],
@@ -773,7 +799,7 @@ def main():
             ("pipeline", 480, lambda: attempt(run_pipeline, **pipe_cfg(
                 per_pass=(args.per_pass if args.per_pass is not None
                           else args.mode == "pipeline")))),
-            ("rmse", 720, lambda: attempt(run_rmse, backend=args.backend)),
+            ("rmse", 900, lambda: attempt(run_rmse, backend=args.backend)),
             # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
             ("duck", 300, lambda: attempt(run_reference, **ref_cfg(
                 width=args.width or 512, height=args.height or 512,

@@ -81,8 +81,6 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
     height = renderer.height
 
     if explicit_halo:
-        from functools import partial
-
         from jax.experimental.shard_map import shard_map
 
         from raytracer2_tpu.parallel.halo import exchange_row_halos
@@ -94,7 +92,20 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
         # radius is capped by the tile height (ppermute ships whole slabs)
         halo_rows = min(halo_rows, h_local)
 
+        # trace-time comm telemetry: every exchanged leaf adds
+        # 2 * radius boundary rows per direction pair; collected once at
+        # compile and exposed as step.halo_telemetry (VERDICT r3 #6:
+        # the scaling bench must carry a comm/halo-rows accounting)
+        telemetry = {"halo_rows": halo_rows, "halo_exchanges": 0,
+                     "halo_bytes_per_device_frame": 0}
+
         def halo_fn(tree, radius):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                row_bytes = ((leaf.size // max(leaf.shape[0], 1))
+                             * leaf.dtype.itemsize)
+                telemetry["halo_exchanges"] += 1
+                telemetry["halo_bytes_per_device_frame"] += (
+                    2 * radius * row_bytes)
             return jax.tree_util.tree_map(
                 lambda a: exchange_row_halos(a, radius), tree)
 
@@ -105,6 +116,9 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
                                 halo_rows=halo_rows)
 
         def step(g_const, state):
+            # reset per trace so a retrace doesn't double-count
+            telemetry["halo_exchanges"] = 0
+            telemetry["halo_bytes_per_device_frame"] = 0
             specs_in = jax.tree_util.tree_map(
                 lambda leaf: (P(ROW_AXIS)
                               if hasattr(leaf, "ndim") and leaf.ndim >= 1
@@ -117,7 +131,13 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
                 check_rep=False)
             return sharded(g_const, state)
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+
+        def stepper(g_const, state):
+            return jitted(g_const, state)
+
+        stepper.halo_telemetry = telemetry  # filled during the first trace
+        return stepper
 
     def step(g_const, state):
         state = jax.tree_util.tree_map(

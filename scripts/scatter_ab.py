@@ -118,45 +118,55 @@ def main():
         tx = jnp.asarray(np.where(~missed, 1e5, -1.0).astype(np.float32))
 
     def timed(fn, *a, **kw):
+        # min + median (ADVICE r3: a single best-of-N hides the
+        # run-to-run spread a recorded bar carries)
         out = fn(*a, **kw)
         jax.block_until_ready(out)
-        best = np.inf
+        ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*a, **kw))
-            best = min(best, time.perf_counter() - t0)
-        return best, out
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[0], ts[len(ts) // 2], out
 
     print(f"scene tris={scene.tri_v0.shape[0]} clusters="
           f"{clusters.num_clusters} rays={n} cls={args.cls} "
           f"platform={jax.default_backend()}", flush=True)
 
+    live_rays = np.asarray(tx > 0)
+    n_live = int(live_rays.sum())
+
     big = clusters.num_clusters >= 512
     kw = dict(bundle_size=128, mb=16 if big else 8, group=8 if big else 4,
               k_cand=256, lean=True)
-    dt_b, base = timed(
+    dt_b, dmed_b, base = timed(
         ptm.closest_hit_bundle_pallas, clusters,
         scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
         smin, smax, overflow_fallback=False, with_overflow=True, **kw)
     base_hit = np.asarray(base[0].triangle_index)
     base_t = np.asarray(base[0].t)
-    print(f"  bundle exact: {dt_b*1e3:8.1f} ms ({n/dt_b/1e6:6.2f} Mr/s) "
-          f"ovf={bool(np.asarray(base[1]))}", flush=True)
+    print(f"  bundle exact: min {dt_b*1e3:8.1f} / med {dmed_b*1e3:8.1f} ms "
+          f"({n/dt_b/1e6:6.2f} Mr/s) ovf={bool(np.asarray(base[1]))}",
+          flush=True)
 
     for spec in args.configs.split(","):
         g, k = (int(x) for x in spec.split(":"))
         sc = tsm.build_superclusters(clusters, group=g)
         try:
-            dt, rec = timed(
+            dt, dmed, rec = timed(
                 tsm.closest_hit_scatter, sc,
                 scene.tri_geometry, scene.tri_primitive, o, d, tn, tx,
                 avg_candidates=k)
             tri = np.asarray(rec.triangle_index)
-            agree = float(np.mean(tri == base_hit))
-            t_err = float(np.nanmax(np.abs(np.asarray(rec.t) - base_t)))
-            print(f"  scatter g={g:2d} K={k:3d}: {dt*1e3:8.1f} ms "
-                  f"({n/dt/1e6:6.2f} Mr/s) tri-agree={agree:.4f} "
-                  f"max|dt|={t_err:.2e}", flush=True)
+            # agreement over LIVE rays only (ADVICE r3: dead lanes
+            # trivially agree as misses and inflate the metric)
+            agree = float(np.mean((tri == base_hit)[live_rays]))
+            t_err = float(np.nanmax(np.abs(
+                (np.asarray(rec.t) - base_t)[live_rays])))
+            print(f"  scatter g={g:2d} K={k:3d}: min {dt*1e3:8.1f} / med "
+                  f"{dmed*1e3:8.1f} ms ({n/dt/1e6:6.2f} Mr/s) "
+                  f"live-agree={agree:.4f} max|dt|={t_err:.2e}", flush=True)
         except Exception as e:
             print(f"  scatter g={g:2d} K={k:3d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:140]}", flush=True)
