@@ -20,3 +20,70 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+# ---------------------------------------------------------------------------
+# Fast test tier (VERDICT r3 #7): the tests below are the long-running
+# convergence/parity runs (>= ~20 s on the 1-core CI host; measured by
+# `pytest --durations`, round 4). `pytest -m "not slow"` is the fast tier
+# (< 3 min) — tracer-flag parity coverage survives there through
+# tests/test_tracer_flags_fast.py's consolidated tiny-scene matrix; the
+# full suite stays the round gate.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_TESTS = {
+    "test_di_resampling.py::test_di_resampling_energy_unbiased",
+    "test_di_resampling.py::test_di_resampling_modes_render_finite",
+    "test_di_resampling.py::test_all_bias_modes_execute",
+    "test_di_resampling.py::test_temporal_reuse_accumulates_history",
+    "test_bvh.py::TestPallasTracer",
+    "test_bvh.py::TestTCapAndDebugSteps",
+    "test_bvh.py::TestOverflowSurfacing",
+    "test_bvh.py::TestOverflowFallback",
+    "test_bvh.py::TestIntervalCullPallas",
+    "test_bvh.py::TestMXUIntersect",
+    "test_bvh.py::TestOctZSortKey",
+    "test_bvh.py::TestHierSortKey",
+    "test_bvh.py::TestPairTracer",
+    "test_bvh.py::TestScatterTracer",
+    "test_rmse.py",
+    "test_frame.py::test_checkerboard_matches_full_grid",
+    "test_frame.py::test_multichip_dryrun",
+    "test_frame.py::test_accumulation_converges",
+    "test_frame.py::test_gi_frame_finite",
+    "test_frame.py::test_jit_compiles",
+    "test_parallel.py::TestExplicitHaloFrame",
+    "test_restir.py::TestDIBoilingFilter::test_frame_gated_by_gconst",
+    "test_goldens.py",
+    "test_bench_guard.py::test_smoke_headline_end_to_end_with_stall",
+    "test_frame.py::test_di_gi_temporal_spatial_sequence",
+    # flag-matrix entries that cost a ~20 s CPU jit each; the fast tier
+    # keeps one parity run per ENGINE (bundle-XLA via TestBundleTracer,
+    # the pallas walk via [sc], the pairs kernel) and the full matrix
+    # stays in the gate
+    "test_tracer_flags_fast.py::test_flag_parity[exact]",
+    "test_tracer_flags_fast.py::test_flag_parity[interval]",
+    "test_tracer_flags_fast.py::test_flag_parity[octz]",
+    "test_tracer_flags_fast.py::test_flag_parity[hier_key]",
+    "test_tracer_flags_fast.py::test_flag_parity[mm]",
+    "test_tracer_flags_fast.py::test_flag_parity[lean]",
+    "test_tracer_flags_fast.py::test_flag_parity[t_cap]",
+    "test_tracer_flags_fast.py::test_flag_parity[cull_kernel]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("tests/", "", 1)
+        parts = nodeid.split("::")
+        candidates = {parts[0]}
+        if len(parts) > 1:
+            candidates.add("::".join(parts[:2]))
+        if len(parts) > 2:
+            candidates.add("::".join(parts[:3]))
+        # strip parametrization ids
+        candidates |= {c.split("[", 1)[0] for c in list(candidates)}
+        if candidates & _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
