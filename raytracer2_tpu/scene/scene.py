@@ -114,6 +114,15 @@ class Scene(NamedTuple):
     host_emission: np.ndarray | None = None  # [G, 4]
     host_tri_geometry: np.ndarray | None = None  # [T] int32
 
+    # quad-packed texture table [NT*H*W, 16]: row (t, y, x) holds the full
+    # 2x2 bilinear window (texels (x,y), (x+1,y), (x,y+1), (x+1,y+1)) with
+    # REPEAT wrapping baked in, so a bilinear sample is ONE row gather
+    # instead of four ([N]-row gathers cost ~16 ms each at 2M lanes on
+    # v5e; the 4-gather texture fetch was the G-buffer's single biggest
+    # glue item, 63 ms — gb_decomp r4). Only valid for the default glTF
+    # sampler (linear + repeat); None when any texture needs another mode.
+    textures_quad: jax.Array | None = None
+
 
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
     """sRGB EOTF (Vulkan R8G8B8A8_SRGB sampling, model.rs:241)."""
@@ -224,6 +233,20 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         texture_modes = np.zeros((1, 3), np.int32)
     default_samplers_only = bool((texture_modes == 0).all())
 
+    # quad-packed bilinear windows (Scene.textures_quad docstring): repeat
+    # wrapping baked per texture's OWN size inside the padded stack
+    quad = None
+    if default_samplers_only and model.images and model.textures:
+        quad = np.zeros(stacked.shape[:3] + (16,), np.float32)
+        for i, img in enumerate(imgs):
+            hi, wi = img.shape[:2]
+            xp = np.roll(img, -1, axis=1)
+            yp = np.roll(img, -1, axis=0)
+            xyp = np.roll(yp, -1, axis=1)
+            quad[i, :hi, :wi] = np.concatenate(
+                [img, xp, yp, xyp], axis=-1)
+        quad = quad.reshape(-1, 16)
+
     if skybox is None:
         skybox = np.zeros((1, 1, 3), np.float32)
 
@@ -286,6 +309,7 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
         host_tri_edge2=np.asarray(tri_e2, np.float32),
         host_emission=emission,
         host_tri_geometry=np.asarray(tri_geo, np.int32),
+        textures_quad=(jnp.asarray(quad) if quad is not None else None),
     )
 
 
@@ -295,7 +319,8 @@ def build_scene(model: CpuModel, skybox: np.ndarray | None = None) -> Scene:
 
 def sample_texture_bilinear(textures: jax.Array, sizes: jax.Array,
                             tex_index: jax.Array, uv: jax.Array,
-                            modes: jax.Array | None = None) -> jax.Array:
+                            modes: jax.Array | None = None,
+                            quad: jax.Array | None = None) -> jax.Array:
     """Sample the stacked texture array honoring per-texture sampler state.
 
     textures: [NT, H, W, 4]; tex_index: [...]; uv: [..., 2] -> [..., 4].
@@ -303,7 +328,13 @@ def sample_texture_bilinear(textures: jax.Array, sizes: jax.Array,
     Scene.texture_modes (ref: gltf/texture.rs:1-118 sampler table); None
     falls back to the default glTF sampler (repeat + linear,
     gltf/mod.rs:147-152). Nearest filtering reuses the bilinear gathers
-    with the fraction forced to the texel center (no extra loads)."""
+    with the fraction forced to the texel center (no extra loads).
+
+    quad: optional Scene.textures_quad [NT*H*W, 16] — the whole 2x2
+    bilinear window in ONE row gather instead of four (bit-exact for the
+    default repeat sampler because (x0+1) mod w == (x0 mod w)+1 mod w;
+    clamp/mirror break that identity at borders, so modes != None keeps
+    the 4-gather path)."""
     ti = jnp.maximum(tex_index, 0)
     w = sizes[ti, 0].astype(jnp.float32)
     h = sizes[ti, 1].astype(jnp.float32)
@@ -335,18 +366,25 @@ def sample_texture_bilinear(textures: jax.Array, sizes: jax.Array,
         return jnp.where(mode == 1, clamp, jnp.where(mode == 2, mirror,
                                                      repeat))
 
-    x0i, x1i = wrap(x0, w, wrap_s), wrap(x0 + 1, w, wrap_s)
-    y0i, y1i = wrap(y0, h, wrap_t), wrap(y0 + 1, h, wrap_t)
-    # flat-index row gathers: the 4D textures[ti, y, x] gather lowers to a
-    # slow multi-index scatter/gather on TPU; reshaping to [NT*H*W, 4] and
-    # gathering computed flat rows measured ~3x faster
     nt, hh, ww, _ = textures.shape
-    flat = textures.reshape(nt * hh * ww, 4)
     base = ti * (hh * ww)
-    c00 = flat[base + y0i * ww + x0i]
-    c10 = flat[base + y0i * ww + x1i]
-    c01 = flat[base + y1i * ww + x0i]
-    c11 = flat[base + y1i * ww + x1i]
+    x0i = wrap(x0, w, wrap_s)
+    y0i = wrap(y0, h, wrap_t)
+    if quad is not None and modes is None:
+        r = quad[base + y0i * ww + x0i]  # [..., 16]: the 2x2 window
+        c00, c10 = r[..., 0:4], r[..., 4:8]
+        c01, c11 = r[..., 8:12], r[..., 12:16]
+    else:
+        # flat-index row gathers: the 4D textures[ti, y, x] gather lowers
+        # to a slow multi-index scatter/gather on TPU; reshaping to
+        # [NT*H*W, 4] and gathering computed flat rows measured ~3x faster
+        x1i = wrap(x0 + 1, w, wrap_s)
+        y1i = wrap(y0 + 1, h, wrap_t)
+        flat = textures.reshape(nt * hh * ww, 4)
+        c00 = flat[base + y0i * ww + x0i]
+        c10 = flat[base + y0i * ww + x1i]
+        c01 = flat[base + y1i * ww + x0i]
+        c11 = flat[base + y1i * ww + x1i]
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
@@ -452,7 +490,9 @@ def get_geometry_from_hit(
         texel = sample_texture_bilinear(
             scene.textures, scene.texture_sizes, tex_index, uv,
             modes=(None if scene.default_samplers_only
-                   else scene.texture_modes))[..., :3]
+                   else scene.texture_modes),
+            quad=(scene.textures_quad if scene.default_samplers_only
+                  else None))[..., :3]
         color = jnp.where((tex_index > -1)[..., None], color * texel, color)
 
     metallic = grow[..., 13:14]
