@@ -666,7 +666,7 @@ def main():
                              "cull=interval --tracer-opt sort_key=hier")
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "bundle", "bundle_pallas",
-                                 "scatter", "lbvh", "brute"])
+                                 "scatter", "pairs", "lbvh", "brute"])
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (this box's axon "
                              "sitecustomize overrides JAX_PLATFORMS, so "

@@ -63,7 +63,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bvh", action="store_true",
                    help="brute-force intersection (oracle mode)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "bundle", "bundle_pallas", "scatter", "lbvh",
+                   choices=["auto", "bundle", "bundle_pallas", "scatter", "pairs", "lbvh",
                             "brute"],
                    help="ray traversal engine")
     # light-sampling subsystems (frame-1 presample dispatch analogues,

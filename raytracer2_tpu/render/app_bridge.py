@@ -197,6 +197,32 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
 
         return Tracers(closest_hit=closest, occluded=occl,
                        overflow_probe=probe)
+    elif backend == "pairs":
+        # round-4 pair-sweep engine (ops/pallas_pairs.py): exact and
+        # tested, but a measured production NEGATIVE (16x slower than
+        # the bundle walk at ladder scale — README) — reachable for A/Bs
+        from raytracer2_tpu.ops.cluster import build_clusters
+        from raytracer2_tpu.ops import pallas_pairs as ppm
+
+        clusters = build_clusters(
+            *_host_tris(scene), cluster_size=cluster_size or 128)
+        ps = ppm.build_pair_scene(clusters, scene.tri_geometry,
+                                  scene.tri_primitive,
+                                  group=min(group or 16, 16))
+        scene_min = jnp.min(clusters.aabb_min, axis=0)
+        scene_max = jnp.max(clusters.aabb_max, axis=0)
+        interp = jax.default_backend() == "cpu"
+
+        def closest(o, d, tmin, tmax, presorted=False):
+            return ppm.closest_hit_pairs(
+                ps, clusters, scene.tri_geometry, scene.tri_primitive,
+                o, d, tmin, tmax, scene_min, scene_max,
+                k_cand=k_cand or 24, interpret=interp)
+
+        def occl(o, d, tmin, tmax, presorted=False):
+            return ppm.occluded_pairs(
+                ps, clusters, o, d, tmin, tmax, scene_min, scene_max,
+                k_cand=k_cand or 24, interpret=interp)
     elif backend == "scatter":
         from raytracer2_tpu.ops.cluster import build_clusters
         from raytracer2_tpu.ops import traverse_scatter as tsm
