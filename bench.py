@@ -517,6 +517,11 @@ def run_rmse(size: int = 256, restir_frames: int = 768,
     return {
         "rmse": round(rmse, 5),
         "oracle_noise_rmse": round(oracle_noise, 5),
+        # the split-half RMSE compares two N/2-sample halves, so it reads
+        # 2x the full-mean oracle's own noise (E[rmse_sh^2] = 2*var_half
+        # = 4*var_full): this derived field is the actual noise floor of
+        # the restir-vs-oracle comparison from the oracle side
+        "oracle_noise_full_mean": round(oracle_noise / 2.0, 5),
         "energy_ratio": round(ratio, 4),
         "gate": 1e-2,
         "passes_gate": bool(rmse <= max(1e-2, oracle_noise)),
