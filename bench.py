@@ -347,7 +347,66 @@ def run_flythrough(width: int = 3840, height: int = 2160,
     """BASELINE config 5: 4K camera fly-through through the full ReSTIR
     DI+GI pipeline with post-process/tonemap and temporal accumulation.
     The camera dollies forward each frame (app.py --orbit analogue), so
-    view/prev_view and motion vectors are exercised for real."""
+    view/prev_view and motion vectors are exercised for real.
+
+    A 4K whole-image frame exceeds single-chip HBM (the [8.3M, ...]-wide
+    pass intermediates — 4K is the scale the row-sharded multi-chip path
+    exists for); the stage walks a config/resolution ladder, ONE CLEAN
+    SUBPROCESS per attempt (a failed in-process attempt leaves HBM
+    polluted: measured — 1080p OOMs after four failed 4K/1440p attempts
+    in the same process while succeeding standalone), and reports the
+    first config that fits plus what was degraded."""
+    import gc
+    import os
+    import subprocess
+
+    # free as much of THIS process's HBM as possible before the child
+    # attempts a 4K allocation burst (chip memory is shared; earlier
+    # stages' jit caches hold scene tables)
+    try:
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+    except Exception:  # noqa: BLE001
+        pass
+
+    attempts = [
+        (f"di+gi@{width}x{height}", width, height, "1", "1"),
+        (f"gi@{width}x{height}", width, height, "0", "1"),
+        (f"di@{width}x{height}", width, height, "1", "0"),
+        ("di+gi@2560x1440", 2560, 1440, "1", "1"),
+        ("di+gi@1920x1080", 1920, 1080, "1", "1"),
+    ]
+    errors = {}
+    for name, w, h, di, gi in attempts:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--mode",
+             "_fly_inner", "--width", str(w), "--height", str(h),
+             "--frames", str(frames), "--scene", scene_kind,
+             "--backend", backend, "--fly-di", di, "--fly-gi", gi],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=3000)
+        out = None
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                out = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if out is not None and "error" not in out:
+            out["pipeline_config"] = name
+            if errors:
+                out["degraded_from"] = errors
+            return out
+        msg = (out or {}).get("error") or (proc.stderr or "no output")[-200:]
+        errors[name] = str(msg)[:160]
+    return {"error": errors}
+
+
+def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
+                   backend: str, di: int, gi: int) -> dict:
+    """One fly-through attempt in a clean process (see run_flythrough)."""
     import dataclasses  # noqa: F401
 
     import numpy as np
@@ -360,49 +419,56 @@ def run_flythrough(width: int = 3840, height: int = 2160,
     from raytracer2_tpu.scene.camera import default_camera
     from raytracer2_tpu.utils.profiler import count_frame_rays
 
-    scene, renderer, cam = _build(scene_kind, width, height, backend)
-    g_const = default_gconst(
-        cam.planar_view_constants(),
-        renderer.scene_lights.num_local_lights)
-    g_const = g_const.replace(enable_restir_di=1, enable_accumulation=1)
-    state = init_frame_state(width, height)
-
     z0 = 90 if scene_kind == "ladder" else 60
+    w, h = width, height
 
-    def view_at(i):
-        # dolly forward along the corridor axis
-        return default_camera(
-            window_size=(width, height),
-            position=(0, 4, z0 - 2.0 * i),
-            direction=(0, 0, 1)).planar_view_constants()
+    try:
+        scene, renderer, cam = _build(scene_kind, w, h, backend)
+        g_const = default_gconst(
+            cam.planar_view_constants(),
+            renderer.scene_lights.num_local_lights).replace(
+            enable_restir_di=di, enable_restir_gi=gi,
+            enable_accumulation=1)
 
-    fn = jax.jit(lambda g, s: render_frame(renderer, g, s))
-    prev = g_const.view
-    # warm-up/compile on frame 0
-    v0 = view_at(0)
-    state1, img = fn(g_const.replace(view=v0, prev_view=prev,
+        def view_at(i):
+            # dolly forward along the corridor axis
+            return default_camera(
+                window_size=(w, h),
+                position=(0, 4, z0 - 2.0 * i),
+                direction=(0, 0, 1)).planar_view_constants()
+
+        state = init_frame_state(w, h)
+        # donate the frame state: at 4K the previous frame's planes are
+        # ~1.5 GB the jit would otherwise hold live across the call
+        fn = jax.jit(lambda g, s: render_frame(renderer, g, s),
+                     donate_argnums=(1,))
+        v0 = view_at(0)
+        st, img = fn(g_const.replace(view=v0, prev_view=g_const.view,
                                      frame=jnp.uint32(0)), state)
-    jax.block_until_ready(img)
-
-    times = []
-    prev = v0
-    st = state1
-    for i in range(1, frames + 1):
-        v = view_at(i)
-        g = g_const.replace(view=v, prev_view=prev, frame=jnp.uint32(i))
-        t0 = time.perf_counter()
-        st, img = fn(g, st)
         jax.block_until_ready(img)
-        times.append(time.perf_counter() - t0)
-        prev = v
+
+        times = []
+        prev = v0
+        for i in range(1, frames + 1):
+            v = view_at(i)
+            g = g_const.replace(view=v, prev_view=prev,
+                                frame=jnp.uint32(i))
+            t0 = time.perf_counter()
+            st, img = fn(g, st)
+            jax.block_until_ready(img)
+            times.append(time.perf_counter() - t0)
+            prev = v
+    except Exception as e:  # noqa: BLE001 — typically RESOURCE_EXHAUSTED
+        return {"error": f"{type(e).__name__}: {e}"[:160]}
+
     arr = np.asarray(times) * 1e3
-    rays = int(count_frame_rays(g_const, width, height))
+    rays = int(count_frame_rays(g_const, w, h))
     p50 = float(np.percentile(arr, 50))
     out = {
         "p50_ms": round(p50, 2),
         "mean_ms": round(float(arr.mean()), 2),
         "frames": frames,
-        "resolution": f"{width}x{height}",
+        "resolution": f"{w}x{h}",
         "rays_per_frame": rays,
         "mrays_nominal": round(rays / (p50 / 1e3) / 1e6, 3),
         "accumulation": True,
@@ -651,7 +717,10 @@ def main():
                         # ladder configs 2/4/5)
                         choices=["all", "reference", "pipeline", "rmse",
                                  "scaling", "duck", "emissive",
-                                 "flythrough", "_scaling_inner"])
+                                 "flythrough", "_scaling_inner",
+                                 "_fly_inner"])
+    parser.add_argument("--fly-di", type=int, default=1)
+    parser.add_argument("--fly-gi", type=int, default=1)
     parser.add_argument("--per-pass", action="store_true", default=None,
                         help="per-pass breakdown in pipeline mode "
                              "(default on for full runs)")
@@ -687,6 +756,12 @@ def main():
         print(json.dumps(_run_scaling_inner(
             args.width or 64, args.height or 64, args.frames or 2,
             args.scene or "corridor")))
+        return 0
+    if args.mode == "_fly_inner":
+        print(json.dumps(_run_fly_inner(
+            args.width or 3840, args.height or 2160, args.frames or 3,
+            args.scene or "ladder", args.backend,
+            args.fly_di, args.fly_gi)))
         return 0
 
     start = time.monotonic()
@@ -830,7 +905,9 @@ def main():
             ("pipeline_breakdown", 900, lambda: attempt(
                 run_pipeline, **pipe_cfg(per_pass=True))),
             # BASELINE config 5: 4K fly-through, DI+GI + accumulation
-            ("flythrough_4k", 900, lambda: attempt(
+            # (the config/resolution ladder retries make it the longest
+            # stage: ~22 min measured when 4K degrades to 1440p)
+            ("flythrough_4k", 1500, lambda: attempt(
                 run_flythrough,
                 width=args.width or 3840, height=args.height or 2160,
                 frames=args.frames or 3,
