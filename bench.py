@@ -372,19 +372,25 @@ def run_flythrough(width: int = 3840, height: int = 2160,
         pass
 
     attempts = [
-        (f"di+gi@{width}x{height}", width, height, "1", "1"),
-        (f"gi@{width}x{height}", width, height, "0", "1"),
-        (f"di@{width}x{height}", width, height, "1", "0"),
-        ("di+gi@2560x1440", 2560, 1440, "1", "1"),
-        ("di+gi@1920x1080", 1920, 1080, "1", "1"),
+        # full pipeline first; then checkerboard (the reference's own
+        # half-grid mode halves the GI-chain temps: lighting buffers go
+        # [H, W/2]); then reduced pipelines; then reduced resolutions
+        (f"di+gi@{width}x{height}", width, height, "1", "1", "0"),
+        (f"di+gi-checkerboard@{width}x{height}",
+         width, height, "1", "1", "1"),
+        (f"gi@{width}x{height}", width, height, "0", "1", "0"),
+        (f"di@{width}x{height}", width, height, "1", "0", "0"),
+        ("di+gi@2560x1440", 2560, 1440, "1", "1", "0"),
+        ("di+gi@1920x1080", 1920, 1080, "1", "1", "0"),
     ]
     errors = {}
-    for name, w, h, di, gi in attempts:
+    for name, w, h, di, gi, cb in attempts:
         proc = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()), "--mode",
              "_fly_inner", "--width", str(w), "--height", str(h),
              "--frames", str(frames), "--scene", scene_kind,
-             "--backend", backend, "--fly-di", di, "--fly-gi", gi],
+             "--backend", backend, "--fly-di", di, "--fly-gi", gi,
+             "--fly-checkerboard", cb],
             env=dict(os.environ), capture_output=True, text=True,
             timeout=3000)
         out = None
@@ -405,9 +411,10 @@ def run_flythrough(width: int = 3840, height: int = 2160,
 
 
 def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
-                   backend: str, di: int, gi: int) -> dict:
+                   backend: str, di: int, gi: int,
+                   checkerboard: int = 0) -> dict:
     """One fly-through attempt in a clean process (see run_flythrough)."""
-    import dataclasses  # noqa: F401
+    import dataclasses
 
     import numpy as np
 
@@ -437,22 +444,33 @@ def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
                 position=(0, 4, z0 - 2.0 * i),
                 direction=(0, 0, 1)).planar_view_constants()
 
-        state = init_frame_state(w, h)
+        state = init_frame_state(w, h, checkerboard=bool(checkerboard))
+
+        def g_at(i, v, prev):
+            g = g_const.replace(view=v, prev_view=prev,
+                                frame=jnp.uint32(i))
+            if checkerboard:
+                g = g.replace(runtime_params=dataclasses.replace(
+                    g.runtime_params,
+                    active_checkerboard_field=1 + (i & 1)))
+            return g
+
         # donate the frame state: at 4K the previous frame's planes are
         # ~1.5 GB the jit would otherwise hold live across the call
         fn = jax.jit(lambda g, s: render_frame(renderer, g, s),
                      donate_argnums=(1,))
         v0 = view_at(0)
-        st, img = fn(g_const.replace(view=v0, prev_view=g_const.view,
-                                     frame=jnp.uint32(0)), state)
+        st, img = fn(g_at(0, v0, g_const.view), state)
         jax.block_until_ready(img)
+        if checkerboard:  # compile the second field parity too
+            st, img = fn(g_at(1, v0, v0), st)
+            jax.block_until_ready(img)
 
         times = []
         prev = v0
         for i in range(1, frames + 1):
             v = view_at(i)
-            g = g_const.replace(view=v, prev_view=prev,
-                                frame=jnp.uint32(i))
+            g = g_at(i, v, prev)
             t0 = time.perf_counter()
             st, img = fn(g, st)
             jax.block_until_ready(img)
@@ -462,7 +480,8 @@ def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
         return {"error": f"{type(e).__name__}: {e}"[:160]}
 
     arr = np.asarray(times) * 1e3
-    rays = int(count_frame_rays(g_const, w, h))
+    # representative frame config (checkerboard halves the lighting rays)
+    rays = int(count_frame_rays(g_at(1, v0, v0), w, h))
     p50 = float(np.percentile(arr, 50))
     out = {
         "p50_ms": round(p50, 2),
@@ -721,6 +740,7 @@ def main():
                                  "_fly_inner"])
     parser.add_argument("--fly-di", type=int, default=1)
     parser.add_argument("--fly-gi", type=int, default=1)
+    parser.add_argument("--fly-checkerboard", type=int, default=0)
     parser.add_argument("--per-pass", action="store_true", default=None,
                         help="per-pass breakdown in pipeline mode "
                              "(default on for full runs)")
@@ -761,7 +781,7 @@ def main():
         print(json.dumps(_run_fly_inner(
             args.width or 3840, args.height or 2160, args.frames or 3,
             args.scene or "ladder", args.backend,
-            args.fly_di, args.fly_gi)))
+            args.fly_di, args.fly_gi, args.fly_checkerboard)))
         return 0
 
     start = time.monotonic()

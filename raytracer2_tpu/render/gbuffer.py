@@ -96,39 +96,69 @@ def gbuffer_pass(
     rays_z = raysmod.setup_primary_ray(px_z, py_z, g_const.view)
     hit = trace_fn(rays_z.origin, rays_z.direction, rays_z.t_min,
                    rays_z.t_max, presorted=True)
-    missed = hit.missed
 
-    attribs = jnp.stack([hit.u, hit.v], axis=-1)
-    geom = get_geometry_from_hit(
-        scene, hit.geometry_index.astype(jnp.int32),
-        hit.primitive_id.astype(jnp.int32), attribs,
-        textures_enabled=bool(g_const.textures),
-        triangle_index=hit.triangle_index)
+    def fetch_pack(hit_c, origin_c, direction_c):
+        """Material fetch + motion + packing for one pixel chunk."""
+        missed = hit_c.missed
+        attribs = jnp.stack([hit_c.u, hit_c.v], axis=-1)
+        geom = get_geometry_from_hit(
+            scene, hit_c.geometry_index.astype(jnp.int32),
+            hit_c.primitive_id.astype(jnp.int32), attribs,
+            textures_enabled=bool(g_const.textures),
+            triangle_index=hit_c.triangle_index)
 
-    world_pos = rays_z.origin + rays_z.direction * hit.t[..., None]
-    # static scene: prev position == current (g_buffer.rgen:28-29)
-    motion = raysmod.get_motion_vector(
-        g_const.view, g_const.prev_view, world_pos, world_pos)
+        world_pos = origin_c + direction_c * hit_c.t[..., None]
+        # static scene: prev position == current (g_buffer.rgen:28-29)
+        motion = raysmod.get_motion_vector(
+            g_const.view, g_const.prev_view, world_pos, world_pos)
 
-    oct_n = pk.ndir_to_oct_unorm32(geom.normal)
-    albedo = pk.pack_r11g11b10_ufloat(geom.diffuse_albedo)
-    spec_rough = pk.pack_rgba8_gamma_ufloat(
-        jnp.concatenate([geom.specular_f0, geom.roughness[..., None]], axis=-1))
+        oct_n = pk.ndir_to_oct_unorm32(geom.normal)
+        albedo = pk.pack_r11g11b10_ufloat(geom.diffuse_albedo)
+        spec_rough = pk.pack_rgba8_gamma_ufloat(
+            jnp.concatenate([geom.specular_f0, geom.roughness[..., None]],
+                            axis=-1))
 
-    def ch(x, fill):
-        return jnp.where(missed, fill, x)
+        def ch(x, fill):
+            return jnp.where(missed, fill, x)
 
-    def bc(x):
-        return jax.lax.bitcast_convert_type(x, jnp.int32)
+        def bc(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    packed_z = jnp.stack(
-        [bc(ch(hit.t, jnp.float32(BACKGROUND_DEPTH))),
-         ch(oct_n, jnp.uint32(0)).astype(jnp.int32),
-         ch(albedo, jnp.uint32(0)).astype(jnp.int32),
-         ch(spec_rough, jnp.uint32(0)).astype(jnp.int32)], axis=1)
-    em_mo_z = bc(jnp.where(missed[:, None], 0.0,
-                           jnp.concatenate([geom.emission, motion], axis=1)))
-    packed = jnp.concatenate([packed_z, em_mo_z], axis=1)
+        packed_z = jnp.stack(
+            [bc(ch(hit_c.t, jnp.float32(BACKGROUND_DEPTH))),
+             ch(oct_n, jnp.uint32(0)).astype(jnp.int32),
+             ch(albedo, jnp.uint32(0)).astype(jnp.int32),
+             ch(spec_rough, jnp.uint32(0)).astype(jnp.int32)], axis=1)
+        em_mo_z = bc(jnp.where(
+            missed[:, None], 0.0,
+            jnp.concatenate([geom.emission, motion], axis=1)))
+        return jnp.concatenate([packed_z, em_mo_z], axis=1)
+
+    n = width * height
+    # 4K frames exceed single-chip HBM by ~1-2 GB with whole-image temps
+    # (compiled peak 15.3 GB; the [N, 80] fetch output alone is 2.65 GB);
+    # chunking the per-pixel fetch+pack costs nothing at 1080p sizes
+    # (kept whole-image there) and bounds the 4K-class temps
+    chunk = 1 << 21  # 2M pixels: the measured-good 1080p working size
+    if n > (1 << 22):
+        nc = (n + chunk - 1) // chunk
+        pad = nc * chunk - n
+
+        def padc(a):
+            if pad == 0:
+                return a
+            return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:],
+                                                 a.dtype)])
+
+        hit_p = jax.tree_util.tree_map(
+            lambda a: padc(a).reshape((nc, chunk) + a.shape[1:]), hit)
+        o_p = padc(rays_z.origin).reshape(nc, chunk, 3)
+        d_p = padc(rays_z.direction).reshape(nc, chunk, 3)
+        packed = jax.lax.map(
+            lambda args: fetch_pack(*args), (hit_p, o_p, d_p))
+        packed = packed.reshape(nc * chunk, -1)[:n]
+    else:
+        packed = fetch_pack(hit, rays_z.origin, rays_z.direction)
     if tiles is not None:
         packed = raysmod.tile_unflatten(
             packed, height, width, tw, th).reshape(height * width, -1)

@@ -459,6 +459,43 @@ def get_geometry_from_hit(
     ONE [T, 80]-row gather (Scene.tri_attrs docstring). Values on lanes
     with invalid ids are junk either way; callers mask by `missed`.
     """
+    # 4K-class batches: the [N, 80] fetch output alone is 2.65 GB at
+    # 8.3M lanes and the whole-image formulation exceeds single-chip HBM
+    # (compiled peak 15.3 GB) — chunk the fetch when the batch is larger
+    # than any 1080p working set; smaller batches keep the one-shot form
+    n_total = int(np.prod(geometry_index.shape)) if geometry_index.ndim \
+        else 1
+    if n_total > (1 << 22):
+        chunk = 1 << 21
+        shape = geometry_index.shape
+        nc = (n_total + chunk - 1) // chunk
+        pad = nc * chunk - n_total
+
+        def flat(a):
+            f = a.reshape((n_total,) + a.shape[len(shape):])
+            if pad:
+                f = jnp.concatenate(
+                    [f, jnp.zeros((pad,) + f.shape[1:], f.dtype)])
+            return f.reshape((nc, chunk) + f.shape[1:])
+
+        args = (flat(geometry_index), flat(primitive_id), flat(attribs),
+                (flat(triangle_index) if triangle_index is not None
+                 else None))
+
+        def one(a):
+            gi_c, pi_c, at_c, tri_c = a
+            return get_geometry_from_hit(
+                scene, gi_c, pi_c, at_c,
+                textures_enabled=textures_enabled,
+                roughness_override=roughness_override,
+                emission_scale=emission_scale,
+                triangle_index=tri_c)
+
+        out = jax.lax.map(one, args)
+        return SurfaceGeometry(*(
+            leaf.reshape((nc * chunk,) + leaf.shape[2:])[:n_total]
+            .reshape(shape + leaf.shape[2:]) for leaf in out))
+
     if triangle_index is not None:
         tri = jnp.clip(triangle_index, 0, scene.num_triangles - 1)
     else:
