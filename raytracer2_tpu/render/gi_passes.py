@@ -44,6 +44,11 @@ K_MAX_INDIRECT_RADIANCE = 100.0  # c_MaxIndirectRadiance (shade_secondary:24)
 K_MIS_ROUGHNESS = 0.3  # (gi_final_shading.rgen:16)
 K_MAX_BRDF_VALUE = 1e4  # (gi_final_shading.rgen:15)
 
+# launches above this lane count run shade_secondary in row bands under
+# lax.map (single-chip 4K memory; tests shrink it to cover the banded
+# path at CPU sizes)
+_BAND_THRESHOLD = 1 << 22
+
 
 class SecondaryGBuffer(NamedTuple):
     """SecondaryGBufferData SoA, packed-field parity
@@ -308,11 +313,53 @@ def shade_secondary_surfaces_pass(
     """shade_secondary_surfaces.rgen:26-157. Returns (initial GI
     reservoirs, updated secondary gbuffer, diffuse, specular) at launch
     resolution ([H, W//2] under checkerboard, shade_secondary_
-    surfaces.rgen:30 via RTXDI_ReservoirPosToPixelPos)."""
+    surfaces.rgen:30 via RTXDI_ReservoirPosToPixelPos).
+
+    4K-class launches (> 4M lanes) run the body in row bands under
+    lax.map: the pass is per-pixel independent and its sampling/shading
+    temps are among the biggest contributors to the whole-image frame's
+    compiled peak (15.0 GB at 4K DI+GI — single-chip HBM). Banding is
+    bit-exact: every RNG stream is seeded by pixel coordinates."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
     w_res = width // 2 if field else width
 
+    n_lanes = height * w_res
+    if n_lanes > _BAND_THRESHOLD and primary_surface is not None \
+            and isinstance(row0, int):
+        hb = max(1, (1 << 21) // max(w_res, 1))
+        nb = (height + hb - 1) // hb
+        pad = nb * hb - height
+
+        def band(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                ).reshape((nb, hb) + a.shape[1:]) if pad else
+                a.reshape((nb, hb) + a.shape[1:]), tree)
+
+        args = (band(px), band(py), band(primary_surface),
+                band(secondary), band(diffuse_img), band(specular_img))
+
+        def one(a):
+            px_b, py_b, prim_b, sec_b, dif_b, spec_b = a
+            return _shade_secondary_body(
+                scene, g_const, tracers, bridge, light_ctx,
+                px_b, py_b, prim_b, sec_b, dif_b, spec_b, hb, w_res)
+
+        out = jax.lax.map(one, args)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * hb,) + a.shape[2:])[:height], out)
+
+    return _shade_secondary_body(
+        scene, g_const, tracers, bridge, light_ctx, px, py,
+        primary_surface, secondary, diffuse_img, specular_img,
+        height, w_res)
+
+
+def _shade_secondary_body(scene, g_const, tracers, bridge, light_ctx,
+                          px, py, primary_surface, secondary,
+                          diffuse_img, specular_img, height, w_res):
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32).reshape(height, w_res),
         py.astype(jnp.uint32).reshape(height, w_res),

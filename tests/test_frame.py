@@ -277,3 +277,53 @@ def test_zorder_shadow_visibility_matches_direct(setup):
     assert vis.shape == (n, n)
     assert 0.01 < vis.mean() < 0.99  # a real mix of blocked and visible
     assert np.array_equal(vis, direct)
+
+
+def test_row_banded_secondary_shade_matches_whole_image(setup_scene=None):
+    """The 4K row-banding of shade_secondary (gi_passes._BAND_THRESHOLD)
+    must match the whole-image body. Per-pixel RNG is coordinate-seeded,
+    so the only differences are compiler-level fp reassociation between
+    the two program shapes (measured: <=7.4e-6 on <1% of pixels) — the
+    same class as the sharded-frame fp tie-breaks (tests/test_parallel)."""
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.models import procedural as proc
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render import gi_passes
+    from raytracer2_tpu.render.frame import (
+        create_renderer, init_frame_state, render_frame)
+    from raytracer2_tpu.scene import gltf
+    from raytracer2_tpu.scene.camera import default_camera
+    from raytracer2_tpu.scene.scene import build_scene
+
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "c.glb"
+        proc.write_glb(p, proc.cornell_box_glb(light_emission=2.0))
+        scene = build_scene(gltf.load_file(p))
+    W = H = 32
+    renderer = create_renderer(scene, W, H)
+    cam = default_camera(window_size=(W, H), position=(0, 0, -12),
+                         direction=(0, 0, -1))
+    g = default_gconst(cam.planar_view_constants(),
+                       renderer.scene_lights.num_local_lights,
+                       enable_restir_di=1, enable_restir_gi=1)
+
+    def frame():
+        state = init_frame_state(W, H)
+        _, img = render_frame(renderer, g, state)
+        return np.asarray(img)
+
+    whole = frame()
+    old = gi_passes._BAND_THRESHOLD
+    try:
+        gi_passes._BAND_THRESHOLD = 64  # force ~8-row bands at 32x32
+        banded = frame()
+    finally:
+        gi_passes._BAND_THRESHOLD = old
+    exact = np.mean(banded == whole)
+    assert exact > 0.98, f"only {exact:.4f} bit-exact"
+    np.testing.assert_allclose(banded, whole, atol=1e-4)
