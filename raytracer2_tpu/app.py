@@ -56,7 +56,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "the reference quirk (the spatio-temporal call is "
                         "commented out, di_fused_resampling.rgen:69-70)")
     p.add_argument("--enable-accumulation", type=int, default=0)
-    p.add_argument("--blend-factor", type=float, default=0.1)
+    p.add_argument("--blend-factor", type=float, default=None,
+                   help="accumulation blend; default auto-computes 1/N "
+                        "while accumulating (main.rs:629-635)")
     p.add_argument("--environment", type=int, default=None,
                    help="1 to enable the environment light (auto if --skybox)")
     p.add_argument("--textures", type=int, default=1)
@@ -229,7 +231,8 @@ def main(argv=None) -> int:
         enable_accumulation=args.enable_accumulation,
         textures=args.textures,
         environment=environment,
-        blend_factor=jnp.float32(args.blend_factor),
+        blend_factor=jnp.float32(
+            0.1 if args.blend_factor is None else args.blend_factor),
         enable_di_resampling={"off": 0, "temporal": 1, "spatial": 2,
                               "spatiotemporal": 3}[args.di_resampling],
     )
@@ -294,6 +297,11 @@ def main(argv=None) -> int:
         view = camera.planar_view_constants()
         g = g_const.replace(view=view, prev_view=prev_view,
                             frame=jnp.uint32(f))
+        if args.blend_factor is None and args.enable_accumulation:
+            # auto 1/N while accumulating, exactly like the reference
+            # (main.rs:629-635: blend_factor = 1 / frames_accumulated)
+            g = g.replace(blend_factor=jnp.float32(
+                1.0 / (f - start_frame + 1)))
         if args.checkerboard:
             g = g.replace(runtime_params=dataclasses.replace(
                 g.runtime_params, active_checkerboard_field=1 + (f & 1)))

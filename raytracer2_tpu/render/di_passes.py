@@ -39,6 +39,8 @@ def di_fused_resampling_pass(
     primary_surface=None,
     motion=None,
     prev_di_reservoirs=None,
+    halo_fn=None,
+    halo_rows: int = 8,
 ) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
     """Returns (reservoirs for the shading-input slot, diffuse,
     specular) — [H, W] arrays, or [H, W//2] under checkerboard
@@ -96,6 +98,16 @@ def di_fused_resampling_pass(
     # 1/2/3 run the library's temporal/spatial/both stages
     # (DIResamplingFunctions.hlsli:170/504 made executable)
     mode = int(g_const.enable_di_resampling)
+    if mode and not isinstance(row0, int) and halo_fn is None:
+        # ADVICE r4 (medium): under row sharding the reservoir buffers are
+        # LOCAL row slabs — gathering global rows into them silently clamps
+        # to wrong rows. The explicit-halo path provides halo_fn; anything
+        # else (a traced row0 without halo plumbing) must not run modes 1-3.
+        raise ValueError(
+            "enable_di_resampling != 0 under row sharding requires the "
+            "explicit-halo path (make_sharded_render_fn(explicit_halo="
+            "True)); local reservoir slabs cannot be gathered with global "
+            "rows")
     trp = g_const.restir_di.temporal_resampling_params
     if mode in (1, 3) and prev_di_reservoirs is not None \
             and motion is not None:
@@ -111,9 +123,17 @@ def di_fused_resampling_pass(
             enable_permutation_sampling=bool(
                 trp.enable_permutation_sampling),
             active_checkerboard_field=field)
+        # under sharding: pad the previous-frame reservoir tile with halo
+        # rows so motion-offset gathers stay on-shard (same treatment as
+        # gi_temporal_pass; reprojection rarely moves > halo_rows/frame)
+        prev_src, prev_base = prev_di_reservoirs, 0
+        if halo_fn is not None:
+            prev_src = halo_fn(prev_di_reservoirs, halo_rows)
+            prev_base = row0 - halo_rows
         reservoir, rng = di_temporal_resampling(
             px, py, surface, reservoir, rng, t_spec, motion,
-            trp.uniform_random_number, prev_di_reservoirs, bridge)
+            trp.uniform_random_number, prev_src, bridge,
+            row_base=prev_base)
         vis_known = None  # the selected sample may no longer be ours
 
     # DI boiling filter (DIResamplingFunctions.hlsli:101-116): applied to
@@ -143,10 +163,35 @@ def di_fused_resampling_pass(
             neighbor_offset_mask=srp.neighbor_offset_mask)
         # the source buffer for neighbor gathers is this frame's reservoir
         # image itself (the whole-grid vectorized analogue of the spatial
-        # pass reading its own input buffer)
+        # pass reading its own input buffer). Under sharding, pad it with
+        # up to a tile height of halo rows (the DI radius of 32 px can
+        # exceed small shard tiles; gathers beyond the halo clamp, the
+        # same per-shard edge treatment the reference applies at screen
+        # edges, RtxdiApplicationBridge.glsl:252-265)
+        src, src_base = reservoir, 0
+        if halo_fn is not None:
+            import math
+
+            r = min(int(math.ceil(float(srp.spatial_sampling_radius))) + 1,
+                    int(reservoir.weight_sum.shape[0]))
+            src = halo_fn(reservoir, r)
+            src_base = row0 - r
         reservoir, rng = di_spatial_resampling(
-            px, py, surface, reservoir, rng, s_spec, reservoir, bridge)
+            px, py, surface, reservoir, rng, s_spec, src, bridge,
+            row_base=src_base)
         vis_known = None
+
+    if mode != 0:
+        # ADVICE r4 (high): after temporal/spatial resampling the winning
+        # reservoir may carry a REUSED sample — shading with the stale
+        # initial-candidate light_sample pairs the winner's inv_pdf with
+        # the loser's radiance/position. The reference's resampling
+        # functions regenerate lightSample for the selected reservoir via
+        # their out-param (DIResamplingFunctions.hlsli:345-352); do the
+        # same from the final reservoir (invalid lanes are masked below).
+        info = bridge.load_light_info(dires.light_index(reservoir), False)
+        light_sample = bridge.sample_polymorphic_light(
+            info, surface, dires.sample_uv(reservoir))
 
     valid = dires.is_valid(reservoir)
     reservoir_shaded, diffuse, specular, _ = shade_surface_with_light_sample(

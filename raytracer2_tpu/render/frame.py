@@ -324,7 +324,8 @@ def render_frame(renderer: Renderer, g_const: GConst,
             primary_surface=primary_surface,
             motion=motion_act,
             prev_di_reservoirs=state.di_reservoirs[
-                di_idx.temporal_resampling_input_buffer_index])
+                di_idx.temporal_resampling_input_buffer_index],
+            halo_fn=halo_fn, halo_rows=halo_rows)
         di_slots[di_idx.shading_input_buffer_index] = di_res
         if g_const.enable_di_resampling:
             di_slots[di_idx.temporal_resampling_input_buffer_index] = di_res

@@ -100,11 +100,16 @@ def di_temporal_resampling(
     spec: DITemporalSpec,
     screen_space_motion: jax.Array,  # [N, 3] pixel space
     uniform_random_number,
-    prev_reservoirs: DIReservoir,  # [H, W]
+    prev_reservoirs: DIReservoir,  # [H, W] (or a halo-padded row tile)
     bridge: Bridge,
+    row_base=0,  # global row of prev_reservoirs' first row (sharding)
 ) -> tuple[DIReservoir, rtrng.RngState]:
     """RTXDI_DITemporalResampling (DIResamplingFunctions.hlsli:170-360).
-    px/py may be flat [N] or any pixel grid shape (e.g. [H, W])."""
+    px/py may be flat [N] or any pixel grid shape (e.g. [H, W]).
+
+    Under row sharding prev_reservoirs is a LOCAL halo-padded tile and
+    row_base maps global rows into it (ADVICE r4: global rows gathered
+    into a local slab silently clamp to wrong rows otherwise)."""
     width, height = bridge.viewport
     shape = px.shape
     f32 = jnp.float32
@@ -186,7 +191,9 @@ def di_temporal_resampling(
         jnp.clip(sel_x, 0, prev_reservoirs.weight_sum.shape[1] - 1),
         jnp.clip(sel_y, 0, height - 1),
         spec.active_checkerboard_field)
-    prev = _gather_di(prev_reservoirs, rx, ry)
+    prev = _gather_di(
+        prev_reservoirs, rx,
+        jnp.clip(ry - row_base, 0, prev_reservoirs.weight_sum.shape[0] - 1))
     prev = prev._replace(
         m=jnp.minimum(prev.m, history_limit),
         spatial_distance=prev.spatial_distance + sel_offset,
@@ -252,11 +259,13 @@ def di_spatial_resampling(
     center_sample: DIReservoir,
     rng: rtrng.RngState,
     spec: DISpatialSpec,
-    cur_reservoirs: DIReservoir,  # [H, W] source buffer
+    cur_reservoirs: DIReservoir,  # [H, W] source buffer (or halo tile)
     bridge: Bridge,
+    row_base=0,  # global row of cur_reservoirs' first row (sharding)
 ) -> tuple[DIReservoir, rtrng.RngState]:
     """RTXDI_DISpatialResampling (DIResamplingFunctions.hlsli:504-677),
-    including the pairwise-MIS variant (:409-494)."""
+    including the pairwise-MIS variant (:409-494). Under row sharding
+    cur_reservoirs is a local halo-padded tile addressed via row_base."""
     from raytracer2_tpu.render.surface import clamp_sample_position_into_view
 
     width, height = bridge.viewport
@@ -315,7 +324,8 @@ def di_spatial_resampling(
         n_res = _gather_di(
             cur_reservoirs,
             jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
-            jnp.clip(ry, 0, height - 1))
+            jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
+                     cur_reservoirs.weight_sum.shape[0] - 1))
         n_res = n_res._replace(
             spatial_distance=n_res.spatial_distance
             + jnp.stack([ox, oy], -1))
@@ -379,7 +389,8 @@ def di_spatial_resampling(
             n_res = _gather_di(
                 cur_reservoirs,
                 jnp.clip(rx, 0, cur_reservoirs.weight_sum.shape[1] - 1),
-                jnp.clip(ry, 0, height - 1))
+                jnp.clip(jnp.clip(ry, 0, height - 1) - row_base, 0,
+                         cur_reservoirs.weight_sum.shape[0] - 1))
             pi = jnp.where(ok & (selected == i), ps, pi)
             pi_sum = pi_sum + jnp.where(ok, ps * n_res.m, 0.0)
         finalized = finalize_resampling(state, pi, pi_sum)
@@ -403,6 +414,7 @@ def di_spatio_temporal_resampling(
     uniform_random_number,
     prev_reservoirs: DIReservoir,
     bridge: Bridge,
+    row_base=0,
 ) -> tuple[DIReservoir, rtrng.RngState]:
     """RTXDI_DISpatioTemporalResampling (DIResamplingFunctions.hlsli:935+).
 
@@ -415,9 +427,10 @@ def di_spatio_temporal_resampling(
     """
     merged, rng = di_temporal_resampling(
         px, py, surface, cur_sample, rng, t_spec, screen_space_motion,
-        uniform_random_number, prev_reservoirs, bridge)
+        uniform_random_number, prev_reservoirs, bridge, row_base=row_base)
     return di_spatial_resampling(
-        px, py, surface, merged, rng, s_spec, prev_reservoirs, bridge)
+        px, py, surface, merged, rng, s_spec, prev_reservoirs, bridge,
+        row_base=row_base)
 
 
 def di_boiling_filter(reservoirs: DIReservoir, filter_strength
