@@ -343,7 +343,8 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
 
 def run_flythrough(width: int = 3840, height: int = 2160,
                    frames: int = 3, scene_kind: str = "ladder",
-                   backend: str = "auto") -> dict:
+                   backend: str = "auto",
+                   stage_budget_s: float = 650.0) -> dict:
     """BASELINE config 5: 4K camera fly-through through the full ReSTIR
     DI+GI pipeline with post-process/tonemap and temporal accumulation.
     The camera dollies forward each frame (app.py --orbit analogue), so
@@ -384,15 +385,24 @@ def run_flythrough(width: int = 3840, height: int = 2160,
         ("di+gi@1920x1080", 1920, 1080, "1", "1", "0"),
     ]
     errors = {}
+    t_start = time.monotonic()
     for name, w, h, di, gi, cb in attempts:
-        proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--mode",
-             "_fly_inner", "--width", str(w), "--height", str(h),
-             "--frames", str(frames), "--scene", scene_kind,
-             "--backend", backend, "--fly-di", di, "--fly-gi", gi,
-             "--fly-checkerboard", cb],
-            env=dict(os.environ), capture_output=True, text=True,
-            timeout=3000)
+        left = stage_budget_s - (time.monotonic() - t_start)
+        if left < 60:
+            errors[name] = "stage budget exhausted"
+            break
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()), "--mode",
+                 "_fly_inner", "--width", str(w), "--height", str(h),
+                 "--frames", str(frames), "--scene", scene_kind,
+                 "--backend", backend, "--fly-di", di, "--fly-gi", gi,
+                 "--fly-checkerboard", cb],
+                env=dict(os.environ), capture_output=True, text=True,
+                timeout=max(left, 60))
+        except subprocess.TimeoutExpired:
+            errors[name] = f"attempt timeout ({left:.0f}s)"
+            continue
         out = None
         for line in reversed(proc.stdout.splitlines()):
             try:
@@ -503,8 +513,8 @@ def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
     return out
 
 
-def run_rmse(size: int = 256, restir_frames: int = 768,
-             oracle_frames: int = 512, oracle_spp: int = 32,
+def run_rmse(size: int = 128, restir_frames: int = 1536,
+             oracle_frames: int = 1024, oracle_spp: int = 64,
              backend: str = "auto", scene_kind: str = "cornell") -> dict:
     """BASELINE.md's RMSE gate measured at TPU scale (VERDICT r2 #6):
     converged accumulated ReSTIR DI vs a transport-matched converged
@@ -512,11 +522,12 @@ def run_rmse(size: int = 256, restir_frames: int = 768,
     tests/test_rmse.py::test_di_display_matches_oracle_strict), compared
     on display images at `size`^2 on the Cornell box.
 
-    Budgets (VERDICT r3 #5: demonstrate the gate at face value): 512
-    oracle frames x 32 spp = 16384 spp drive the split-half noise floor
-    below the 1e-2 gate (floor ~ 0.024 at the round-3 2048-spp budget,
-    scaling ~ 1/sqrt(spp)); 768 accumulated ReSTIR frames push the
-    estimator's own residual below it too."""
+    Budgets (VERDICT r4 #6: the r4 measurement sat ON its own floor —
+    0.00788 vs a 0.00755 full-mean floor at 256^2 x 16384 oracle spp).
+    RMSE is a per-pixel statistic, so measure at 128^2 and spend the 4x
+    cheaper frames on samples: 1024 frames x 64 spp = 65536 oracle spp
+    puts the derived floor at ~0.0038 (scales ~1/sqrt(spp)), comfortably
+    under the 1e-2 gate, at roughly the r4 stage cost."""
     import dataclasses
 
     import numpy as np
@@ -623,38 +634,183 @@ def run_rmse(size: int = 256, restir_frames: int = 768,
     }
 
 
+def run_rmse_gi(size: int = 128, restir_frames: int = 384,
+                oracle_frames: int = 768, oracle_spp: int = 32,
+                backend: str = "auto",
+                scene_kind: str = "cornell") -> dict:
+    """GI-on RMSE stage (VERDICT r4 #6): the flagship DI+GI pipeline vs
+    the transport-matched 3-bounce front-facing oracle, converged in
+    LINEAR space (the recipe validated by
+    tests/test_rmse.py::test_di_gi_display_matches_oracle — averaging
+    tonemapped frames would under-count the spiky secondary-DI stream by
+    the AgX Jensen gap). Reports rmse_gi + its oracle floor + linear
+    energy ratio."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer2_tpu.params import default_gconst
+    from raytracer2_tpu.render.frame import init_frame_state, render_frame
+    from raytracer2_tpu.render.postprocess import (
+        PostProcessInputs, post_process)
+    from raytracer2_tpu.render.reference import render_reference
+    from raytracer2_tpu.utils import packing as pk
+
+    if not readback_ok():
+        return {"error": "skipped: device->host transfers stalled"}
+
+    scene, renderer, cam = _build(scene_kind, size, size, backend)
+    view = cam.planar_view_constants()
+    n_lights = renderer.scene_lights.num_local_lights
+
+    g1 = default_gconst(view, n_lights, refrence_mode=1)
+    fn_o = jax.jit(lambda gc: render_reference(
+        scene, gc, size, size, max_bounces=3, max_samples=oracle_spp,
+        trace_fn=renderer.tracers.closest_hit, emission_facing="front"))
+    acc_a = jnp.zeros((size, size, 3), jnp.float32)
+    acc_b = jnp.zeros((size, size, 3), jnp.float32)
+    for f in range(oracle_frames):
+        img_f = fn_o(g1.replace(frame=jnp.uint32(f)))
+        if f % 2 == 0:
+            acc_a = acc_a + img_f
+        else:
+            acc_b = acc_b + img_f
+    half_a = acc_a / max(oracle_frames - oracle_frames // 2, 1)
+    half_b = acc_b / max(oracle_frames // 2, 1)
+    oracle_lin = (acc_a + acc_b) / oracle_frames
+
+    g = default_gconst(view, n_lights,
+                       enable_restir_di=1, enable_restir_gi=1,
+                       enable_temporal_resampling=0,
+                       enable_spatial_resampling=0)
+    isp = dataclasses.replace(g.restir_di.initial_sampling_params,
+                              num_primary_local_light_samples=4)
+    g = g.replace(restir_di=dataclasses.replace(
+        g.restir_di, initial_sampling_params=isp))
+    fn = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+    state = init_frame_state(size, size)
+    accd = jnp.zeros((size, size, 3), jnp.float32)
+    accs = jnp.zeros((size, size, 3), jnp.float32)
+    for f in range(restir_frames):
+        state, _ = fn(g.replace(frame=jnp.uint32(f)), state)
+        accd = accd + state.diffuse_lighting
+        accs = accs + state.specular_lighting
+    accd = accd / restir_frames
+    accs = accs / restir_frames
+
+    gb = state.gbuffer
+
+    def display(diffuse, specular):
+        out, _ = post_process(scene, g, PostProcessInputs(
+            depth=gb.depth,
+            diffuse_albedo=pk.unpack_r11g11b10_ufloat(gb.diffuse_albedo),
+            specular_f0=pk.unpack_rgba8_gamma_ufloat(
+                gb.specular_rough)[..., :3],
+            emissive=gb.emissive,
+            diffuse=diffuse, specular=specular))
+        return out
+
+    z = jnp.zeros((size, size, 3), jnp.float32)
+    oracle_img = display(oracle_lin, z)
+    img = display(accd, accs)
+    oracle_noise_dev = jnp.sqrt(jnp.mean(
+        (display(half_a, z) - display(half_b, z)) ** 2))
+    stats = jnp.stack([
+        jnp.sqrt(jnp.mean((oracle_img - img) ** 2)),
+        oracle_noise_dev,
+        (accd + accs).mean() / jnp.maximum(oracle_lin.mean(), 1e-9)])
+    jax.block_until_ready(stats)
+    host = guarded_readback(stats)
+    if host is None:
+        return {"error": "readback stalled; rmse_gi unmeasurable"}
+    rmse, oracle_noise, ratio = (float(v) for v in np.asarray(host))
+    return {
+        "rmse_gi": round(rmse, 5),
+        "oracle_noise_full_mean": round(oracle_noise / 2.0, 5),
+        "energy_ratio_linear": round(ratio, 4),
+        "gate": 1e-2,
+        "passes_gate": bool(rmse <= max(1e-2, oracle_noise / 2.0)),
+        "passes_gate_face_value": bool(rmse <= 1e-2),
+        "size": size,
+        "restir_frames": restir_frames,
+        "oracle_frames": oracle_frames,
+        "oracle_spp": oracle_spp,
+        "config": f"{scene_kind} restir di+gi (4NEE DI, 1-bounce GI) vs "
+                  "3-bounce front-emission oracle, linear accumulation",
+    }
+
+
 def run_scaling(width: int = 64, height: int = 64, frames: int = 2,
                 scene_kind: str = "corridor") -> dict:
-    """1-device vs 8-virtual-device frame times on the host CPU mesh
-    (VERDICT r2 #7: the halo/GSPMD comparison needs the 1-device column).
-    Spawns a fresh interpreter: the virtual device count is fixed at
-    backend init. All 8 virtual devices share this host's cores, so the
-    honest signal is the ratio BETWEEN the sharded paths plus the
-    sharding overhead vs 1 device — not real-chip scaling (the driver's
-    multichip dryrun covers compile/execute correctness; real ICI scaling
-    needs real chips)."""
+    """1/2/4/8-virtual-device frame-time curve on the host CPU mesh
+    (VERDICT r4 #5: the scaling evidence needs the 2/4-device points and
+    a MEASURED comm fraction, not a zeroed estimate). One fresh
+    interpreter per device count (the virtual count is fixed at backend
+    init). All virtual devices share this host's cores, so the honest
+    signals are the ratios between sharded paths, the curve shape, and
+    the comm fraction — not real-chip ICI scaling (the driver's multichip
+    dryrun covers compile/execute correctness on the sharded path)."""
     import os
     import subprocess
 
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8"
-                        ).strip()
-    proc = subprocess.run(
-        [sys.executable, str(Path(__file__).resolve()), "--mode",
-         "_scaling_inner", "--width", str(width), "--height", str(height),
-         "--frames", str(frames), "--scene", scene_kind],
-        env=env, capture_output=True, text=True, timeout=3000)
-    for line in reversed(proc.stdout.splitlines()):
+    res: dict = {"width": width, "height": height, "curve": {}}
+    for n, full in ((8, True), (2, False), (4, False)):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={n}"
+                            ).strip()
         try:
-            return json.loads(line)
-        except ValueError:
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()), "--mode",
+                 "_scaling_inner", "--width", str(width), "--height",
+                 str(height), "--frames", str(frames), "--scene",
+                 scene_kind, "--scaling-full", "1" if full else "0"],
+                env=env, capture_output=True, text=True, timeout=420)
+        except subprocess.TimeoutExpired:
+            res["curve"][str(n)] = {"error": "420s point timeout"}
             continue
-    return {"error": (proc.stderr or "no JSON from scaling run")[-300:]}
+        out = None
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                out = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if out is None:
+            res["curve"][str(n)] = {
+                "error": (proc.stderr or "no JSON")[-200:]}
+            continue
+        if full:  # the 8-dev run carries the single-device baseline
+            res["devices"] = out.pop("devices", n)
+            for k in ("single_device_ms", "gspmd_8dev_ms",
+                      "gspmd_speedup_vs_1dev", "halo_vs_gspmd"):
+                if k in out:
+                    res[k] = out.pop(k)
+        out.pop("devices", None)
+        res["curve"][str(n)] = out
+    t1 = res.get("single_device_ms")
+    if t1:
+        for n, row in res["curve"].items():
+            ms = row.get("halo_ms")
+            if ms:
+                row["halo_speedup_vs_1dev"] = round(t1 / ms, 3)
+    # headline compat fields (r2-r4 records carried these at 8 dev)
+    c8 = res["curve"].get("8", {})
+    if "halo_ms" in c8:
+        res["halo_8dev_ms"] = c8["halo_ms"]
+        res["halo_speedup_vs_1dev"] = c8.get("halo_speedup_vs_1dev")
+    return res
 
 
 def _run_scaling_inner(width: int, height: int, frames: int,
-                       scene_kind: str) -> dict:
+                       scene_kind: str, full: bool = True) -> dict:
+    """One device-count point. full=True (the 8-dev run) additionally
+    measures the single-device baseline and the GSPMD fallback; every run
+    measures the halo path AND the local-pad control, whose timing
+    difference is the halo's real measured comm cost (VERDICT r4 #5)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # sitecustomize exports axon
@@ -682,42 +838,42 @@ def _run_scaling_inner(width: int, height: int, frames: int,
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts) * 1e3)
 
-    single = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
-    t1 = median_ms(single, init_frame_state(width, height))
+    res = {"devices": n_dev}
+    if full:
+        single = jax.jit(lambda gc, s: render_frame(renderer, gc, s))
+        res["single_device_ms"] = round(
+            median_ms(single, init_frame_state(width, height)), 2)
 
     mesh = make_mesh()
-    res = {"devices": n_dev, "width": width, "height": height,
-           "single_device_ms": round(t1, 2)}
-    for name, halo in (("gspmd", False), ("halo", True)):
-        step = make_sharded_render_fn(renderer, mesh, explicit_halo=halo)
-        tn = median_ms(step, shard_frame_state(
+    step = make_sharded_render_fn(renderer, mesh, explicit_halo=True)
+    tn = median_ms(step, shard_frame_state(
+        init_frame_state(width, height), mesh))
+    res["halo_ms"] = round(tn, 2)
+    tel = dict(getattr(step, "halo_telemetry", {}))
+    res["halo_rows"] = tel.get("halo_rows")
+    res["halo_exchanges_per_frame"] = tel.get("halo_exchanges")
+    res["halo_kb_per_device_frame"] = round(
+        tel.get("halo_bytes_per_device_frame", 0) / 1024, 1)
+
+    # measured comm: identical program with the ppermute replaced by a
+    # local reflect-pad (same shapes, same compute, zero communication)
+    step_local = make_sharded_render_fn(
+        renderer, mesh, explicit_halo=True, halo_impl="local")
+    t_local = median_ms(step_local, shard_frame_state(
+        init_frame_state(width, height), mesh))
+    comm = max(tn - t_local, 0.0)
+    res["halo_local_pad_ms"] = round(t_local, 2)
+    res["halo_comm_ms_measured"] = round(comm, 2)
+    res["halo_comm_fraction_measured"] = round(comm / max(tn, 1e-9), 4)
+
+    if full:
+        gs = make_sharded_render_fn(renderer, mesh, explicit_halo=False)
+        tg = median_ms(gs, shard_frame_state(
             init_frame_state(width, height), mesh))
-        res[f"{name}_{n_dev}dev_ms"] = round(tn, 2)
-        res[f"{name}_speedup_vs_1dev"] = round(t1 / max(tn, 1e-9), 3)
-        if halo:
-            # comm/halo accounting (VERDICT r3 #6): trace-time byte count
-            # plus a measured comm estimate — re-time at a 2-row halo and
-            # scale the delta to the full radius (the stencil compute is
-            # radius-independent; only the shipped rows change)
-            tel = dict(getattr(step, "halo_telemetry", {}))
-            res["halo_rows"] = tel.get("halo_rows")
-            res["halo_exchanges_per_frame"] = tel.get("halo_exchanges")
-            res["halo_kb_per_device_frame"] = round(
-                tel.get("halo_bytes_per_device_frame", 0) / 1024, 1)
-            r_full = tel.get("halo_rows") or 8
-            if r_full > 2:
-                step2 = make_sharded_render_fn(
-                    renderer, mesh, explicit_halo=True, halo_rows=2)
-                t2 = median_ms(step2, shard_frame_state(
-                    init_frame_state(width, height), mesh))
-                comm = max(tn - t2, 0.0) * r_full / (r_full - 2)
-                res["halo_comm_ms_estimate"] = round(comm, 2)
-                res["halo_comm_fraction_estimate"] = round(
-                    comm / max(tn, 1e-9), 4)
-    if f"halo_{n_dev}dev_ms" in res and f"gspmd_{n_dev}dev_ms" in res:
-        res["halo_vs_gspmd"] = round(
-            res[f"gspmd_{n_dev}dev_ms"] / max(res[f"halo_{n_dev}dev_ms"],
-                                              1e-9), 3)
+        res[f"gspmd_{n_dev}dev_ms"] = round(tg, 2)
+        t1 = res.get("single_device_ms") or 0.0
+        res["gspmd_speedup_vs_1dev"] = round(t1 / max(tg, 1e-9), 3)
+        res["halo_vs_gspmd"] = round(tg / max(tn, 1e-9), 3)
     return res
 
 
@@ -730,11 +886,16 @@ def main():
                         help="only the 256x256 round-1-comparable config")
     parser.add_argument("--budget-s", type=float,
                         default=float(__import__("os").environ.get(
-                            "RT2_BENCH_BUDGET_S", 5400)),
+                            "RT2_BENCH_BUDGET_S", 2400)),
                         help="total wall-clock budget; stages that would "
-                             "overrun are skipped so the final headline "
-                             "line always prints (default 5400s / env "
-                             "RT2_BENCH_BUDGET_S)")
+                             "overrun are skipped, and a hard watchdog "
+                             "prints the final headline line and exits 0 "
+                             "at the deadline no matter what is running "
+                             "(default 2400s / env RT2_BENCH_BUDGET_S). "
+                             "VERDICT r4 #2: two rounds were killed by "
+                             "the driver's external timeout at rc=124 "
+                             "with the old 5400s self-budget; the bench "
+                             "must exit 0 with its JSON line first.")
     parser.add_argument("--mode", default="all",
                         # also: duck | emissive | flythrough (BASELINE
                         # ladder configs 2/4/5)
@@ -745,6 +906,9 @@ def main():
     parser.add_argument("--fly-di", type=int, default=1)
     parser.add_argument("--fly-gi", type=int, default=1)
     parser.add_argument("--fly-checkerboard", type=int, default=0)
+    parser.add_argument("--scaling-full", type=int, default=1,
+                        help="_scaling_inner: also measure the 1-device "
+                             "baseline and the GSPMD fallback")
     parser.add_argument("--per-pass", action="store_true", default=None,
                         help="per-pass breakdown in pipeline mode "
                              "(default on for full runs)")
@@ -779,7 +943,7 @@ def main():
     if args.mode == "_scaling_inner":
         print(json.dumps(_run_scaling_inner(
             args.width or 64, args.height or 64, args.frames or 2,
-            args.scene or "corridor")))
+            args.scene or "corridor", full=bool(args.scaling_full))))
         return 0
     if args.mode == "_fly_inner":
         print(json.dumps(_run_fly_inner(
@@ -794,6 +958,50 @@ def main():
         return args.budget_s - (time.monotonic() - start)
 
     detail: dict = {}
+    _emit = {"done": False}
+    _emit_lock = threading.Lock()
+
+    def emit_final(name: str, value, exit_now: bool = False):
+        """Print THE final JSON line exactly once (normal completion or
+        watchdog deadline). vs_baseline semantics depend on the metric."""
+        with _emit_lock:
+            if _emit["done"]:
+                return
+            _emit["done"] = True
+            if "p50" in name or name.endswith("_ms"):
+                vs = round(16.0 / max(value, 1e-9), 4)  # 16 ms budget
+                unit = "ms"
+            elif "rmse" in name:
+                vs = round(1e-2 / max(value, 1e-9), 4)  # <=1e-2 gate
+                unit = "rmse"
+            else:
+                vs = round(value / BASELINE_MRAYS, 4)
+                unit = "Mrays/s"
+            detail.setdefault("readback_ok", _readback_state["ok"])
+            detail["total_seconds"] = round(time.monotonic() - start, 1)
+            print(json.dumps({
+                "metric": name, "value": value, "unit": unit,
+                "vs_baseline": vs, "detail": detail,
+            }), flush=True)
+        if exit_now:
+            import os
+
+            os._exit(0)
+
+    def watchdog():
+        """Hard deadline: whatever stage is running (or hung — a compile,
+        a stalled readback, a wedged subprocess), the final line prints
+        and the process exits 0 BEFORE the driver's external timeout."""
+        h = best_headline() or ("bench_incomplete", 0.0)
+        print(f"bench: watchdog fired at {args.budget_s:.0f}s — emitting "
+              "final line with completed stages", file=sys.stderr,
+              flush=True)
+        emit_final(h[0], h[1], exit_now=True)
+
+    if args.mode == "all":
+        wd = threading.Timer(max(args.budget_s, 60.0), watchdog)
+        wd.daemon = True
+        wd.start()
 
     def ref_cfg(**kw):
         cfg = dict(width=args.width or kw["width"],
@@ -885,71 +1093,81 @@ def main():
 
         # ordered (key, est_seconds, thunk): importance-first so the
         # headline prints early and slow stages can be budget-skipped.
-        # Estimates assume a cold compile cache; actual per-stage wall
-        # time is recorded as stage_seconds for calibration.
+        # Estimates are the r4 MEASURED stage_seconds (BENCH_r04 tail)
+        # plus ~20% margin — the old cold-compile guesses summed to
+        # ~8,280s and made the budget math meaningless.
         stages = [
-            ("quick", 300, lambda: attempt(run_reference, **ref_cfg(
+            ("quick", 200, lambda: attempt(run_reference, **ref_cfg(
                 width=256, height=256, spp=2, bounces=3, frames=8,
                 scene_kind="corridor"))),
-            ("ladder", 480, lambda: attempt(run_reference, **ref_cfg(
+            ("ladder", 330, lambda: attempt(run_reference, **ref_cfg(
                 width=1920, height=1080, spp=8, bounces=5, frames=2,
                 scene_kind="ladder"))),
             # flagship DI+GI frame (what `app.py` renders by default)
-            ("pipeline_di", 720, lambda: attempt(
+            ("pipeline_di", 400, lambda: attempt(
                 run_pipeline, **pipe_cfg(enable_di=True))),
             # per-pass only when explicitly asked or in single-stage
             # pipeline mode ('all' runs the breakdown as its own late
             # stage instead)
-            ("pipeline", 480, lambda: attempt(run_pipeline, **pipe_cfg(
+            ("pipeline", 210, lambda: attempt(run_pipeline, **pipe_cfg(
                 per_pass=(args.per_pass if args.per_pass is not None
                           else args.mode == "pipeline")))),
-            ("rmse", 900, lambda: attempt(run_rmse, backend=args.backend)),
+            ("rmse", 240, lambda: attempt(run_rmse, backend=args.backend)),
             # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
-            ("duck", 300, lambda: attempt(run_reference, **ref_cfg(
+            ("duck", 140, lambda: attempt(run_reference, **ref_cfg(
                 width=args.width or 512, height=args.height or 512,
                 spp=args.spp or 4, bounces=args.bounces or 3,
                 frames=args.frames or 4, scene_kind="duck"))),
-            # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
-            # lighting rays per frame, alternating fields
-            ("pipeline_checkerboard", 480, lambda: attempt(
-                run_pipeline, **pipe_cfg(checkerboard=True))),
-            ("scaling", 900, lambda: attempt(run_scaling)),
-            # BASELINE config 4: 1k+ area lights through the DI
-            # reservoir path (presample + PDF mips at renderer creation)
-            ("emissive", 600, lambda: attempt(run_pipeline, **pipe_cfg(
-                frames=args.frames or 4, scene_kind="emissive",
-                enable_di=True))),
-            # the RMSE gate on the textured many-light corridor (the
-            # BASELINE ladder scene family) — cornell stays the headline
-            # (its transport matching is test-validated)
-            ("rmse_corridor", 720, lambda: attempt(
-                run_rmse, backend=args.backend, scene_kind="corridor")),
-            # cumulative-prefix per-pass breakdown (compiles one program
-            # per pass prefix — the slowest stage, so it runs late)
-            ("pipeline_breakdown", 900, lambda: attempt(
-                run_pipeline, **pipe_cfg(per_pass=True))),
-            # BASELINE config 5: 4K fly-through, DI+GI + accumulation
-            # (the config/resolution ladder retries make it the longest
-            # stage: ~22 min measured when 4K degrades to 1440p)
-            ("flythrough_4k", 1500, lambda: attempt(
+            # 1/2/4/8-device scaling curve + measured comm fraction
+            ("scaling", 420, lambda: attempt(run_scaling)),
+            # BASELINE config 5: 4K fly-through, DI+GI + accumulation —
+            # promoted ahead of the optional stages (VERDICT r4 #3: the
+            # full-grid 4K p50 must land in the driver record)
+            ("flythrough_4k", 700, lambda: attempt(
                 run_flythrough,
                 width=args.width or 3840, height=args.height or 2160,
                 frames=args.frames or 3,
                 scene_kind=args.scene or "ladder",
                 backend=args.backend)),
+            # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
+            # lighting rays per frame, alternating fields
+            ("pipeline_checkerboard", 400, lambda: attempt(
+                run_pipeline, **pipe_cfg(checkerboard=True))),
+            # BASELINE config 4: 1k+ area lights through the DI
+            # reservoir path (presample + PDF mips at renderer creation)
+            ("emissive", 400, lambda: attempt(run_pipeline, **pipe_cfg(
+                frames=args.frames or 4, scene_kind="emissive",
+                enable_di=True))),
+            # GI-on RMSE (VERDICT r4 #6): the flagship pipeline, not just
+            # DI, error-gated in the driver record
+            ("rmse_gi", 500, lambda: attempt(
+                run_rmse_gi, backend=args.backend)),
+            # the RMSE gate on the textured many-light corridor (the
+            # BASELINE ladder scene family) — cornell stays the headline
+            # (its transport matching is test-validated)
+            ("rmse_corridor", 500, lambda: attempt(
+                run_rmse, backend=args.backend, scene_kind="corridor")),
+            # cumulative-prefix per-pass breakdown (compiles one program
+            # per pass prefix — the slowest stage, so it runs late)
+            ("pipeline_breakdown", 700, lambda: attempt(
+                run_pipeline, **pipe_cfg(per_pass=True))),
         ]
         mode_stage = {  # single-stage modes reuse the same thunks
             "reference": ("quick", "ladder"),
             "pipeline": ("pipeline", "pipeline_checkerboard",
                          "pipeline_di"),
-            "rmse": ("rmse",), "scaling": ("scaling",), "duck": ("duck",),
+            "rmse": ("rmse", "rmse_gi"), "scaling": ("scaling",),
+            "duck": ("duck",),
             "emissive": ("emissive",), "flythrough": ("flythrough_4k",),
         }
+        # reserve headroom for the final print + interpreter teardown so
+        # the watchdog is a backstop, not the normal exit path
+        reserve = 90.0
         for key, est, thunk in stages:
             if args.mode != "all" and key not in mode_stage.get(
                     args.mode, ()):
                 continue
-            if args.mode == "all" and remaining() < est:
+            if args.mode == "all" and remaining() < est + reserve:
                 detail[key] = {"skipped": (
                     f"budget: {remaining():.0f}s left < ~{est}s estimate")}
                 print(f"bench: skipping {key} (budget)", file=sys.stderr,
@@ -982,28 +1200,8 @@ def main():
         else:  # ladder failed: fall back to the quick number
             headline = ("reference_path_tracer_mrays_per_sec_per_chip",
                         detail.get("quick", {}).get("mrays_nominal", 0.0))
-        detail["readback_ok"] = _readback_state["ok"]
-        detail["total_seconds"] = round(time.monotonic() - start, 1)
-
     name, value = headline
-    if "p50" in name or name.endswith("_ms"):
-        # latency headline: vs 16 ms frame budget (BASELINE.md)
-        vs = round(16.0 / max(value, 1e-9), 4)
-        unit = "ms"
-    elif "rmse" in name:
-        # error headline: vs the BASELINE.md <=1e-2 gate (>1 passes)
-        vs = round(1e-2 / max(value, 1e-9), 4)
-        unit = "rmse"
-    else:
-        vs = round(value / BASELINE_MRAYS, 4)
-        unit = "Mrays/s"
-    print(json.dumps({
-        "metric": name,
-        "value": value,
-        "unit": unit,
-        "vs_baseline": vs,
-        "detail": detail,
-    }))
+    emit_final(name, value)
     return 0
 
 

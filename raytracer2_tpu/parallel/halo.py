@@ -37,6 +37,17 @@ def _reflect_bottom(x: jax.Array, radius: int) -> jax.Array:
     return x[-radius:][::-1]
 
 
+def local_pad_rows(x: jax.Array, radius: int) -> jax.Array:
+    """Reflect-pad a tile with its OWN rows — the same shapes/compute as
+    exchange_row_halos but zero communication. Wrong pixels at interior
+    shard boundaries; exists so the scaling bench can measure the halo's
+    true comm cost as (exchange time - local-pad time) on an otherwise
+    identical program (VERDICT r4 #5: an instrumented comm estimate of
+    exactly zero is an unmeasured estimate)."""
+    return jnp.concatenate(
+        [_reflect_top(x, radius), x, _reflect_bottom(x, radius)], axis=0)
+
+
 def exchange_row_halos(x: jax.Array, radius: int,
                        axis_name: str = ROW_AXIS) -> jax.Array:
     """Pad a per-shard row tile with RADIUS rows from each row-neighbour

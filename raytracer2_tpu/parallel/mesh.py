@@ -64,7 +64,8 @@ def shard_frame_state(state, mesh: Mesh):
 
 def make_sharded_render_fn(renderer, mesh: Mesh,
                            explicit_halo: bool = False,
-                           halo_rows: int = 8) -> Callable:
+                           halo_rows: int = 8,
+                           halo_impl: str = "exchange") -> Callable:
     """jit the frame graph with row-sharded frame state in/out; scene and
     light resources are closed over (replicated constants folded into the
     executable).
@@ -75,7 +76,11 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
     instead of whatever collective GSPMD infers for the whole-array
     gathers. Pixel RNG and view math stay global, so the sharded image
     matches the single-chip frame wherever temporal reprojection stays
-    within halo_rows (GI spatial radius 3 always does)."""
+    within halo_rows (GI spatial radius 3 always does).
+
+    halo_impl="local" replaces the ppermute exchange with a same-shape
+    reflect-pad of the tile's OWN rows — a measurement-only mode whose
+    timing difference vs "exchange" is the halo's real comm cost."""
     from raytracer2_tpu.render.frame import render_frame
 
     height = renderer.height
@@ -83,7 +88,8 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
     if explicit_halo:
         from jax.experimental.shard_map import shard_map
 
-        from raytracer2_tpu.parallel.halo import exchange_row_halos
+        from raytracer2_tpu.parallel.halo import (
+            exchange_row_halos, local_pad_rows)
 
         n = mesh.devices.size
         assert height % n == 0, "image rows must divide the mesh"
@@ -106,8 +112,9 @@ def make_sharded_render_fn(renderer, mesh: Mesh,
                 telemetry["halo_exchanges"] += 1
                 telemetry["halo_bytes_per_device_frame"] += (
                     2 * radius * row_bytes)
-            return jax.tree_util.tree_map(
-                lambda a: exchange_row_halos(a, radius), tree)
+            pad = (local_pad_rows if halo_impl == "local"
+                   else exchange_row_halos)
+            return jax.tree_util.tree_map(lambda a: pad(a, radius), tree)
 
         def tile_step(g_const, state_tile):
             row0 = jax.lax.axis_index(ROW_AXIS) * h_local
