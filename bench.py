@@ -236,6 +236,33 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
 
     scene, renderer, cam = _build(scene_kind, width, height, backend,
                                   tracer_opts=tracer_opts)
+    # candidate-budget probe (VERDICT r4 #4): surface the per-class
+    # k_cand a zero-truncation traversal needs, auto-apply it where it is
+    # cost-neutral (incoherent/shadow classes), and leave the pixel-tile
+    # class on k=256 + the exact bounded fallback — ranking full lists
+    # for the handful of sky/grazing bundles measured +62% on the whole
+    # primary trace (185 vs 114 ms at ladder) while the fallback
+    # re-traces exactly. One guarded scalar readback, relay-gated.
+    k_cand_auto = None
+    k_cand_needed = None
+    if (readback_ok()
+            and not (tracer_opts or {}).get("k_cand")):
+        from raytracer2_tpu.render.app_bridge import (
+            make_tracers, suggest_k_cand)
+
+        sug = suggest_k_cand(renderer, view=cam.planar_view_constants())
+        if sug:
+            k_cand_needed = {str(k): v for k, v in sug.items()}
+            apply = {k: v for k, v in sug.items() if k is not True}
+            cur = renderer.tracers.k_cand_by_class or {}
+            apply = {k: v for k, v in apply.items() if v != cur.get(k)}
+            if apply:
+                topts2 = dict(tracer_opts or {})
+                topts2["k_cand_per_class"] = apply
+                renderer = renderer._replace(tracers=make_tracers(
+                    renderer.scene, use_bvh=True, backend=backend,
+                    **topts2))
+                k_cand_auto = {str(k): v for k, v in apply.items()}
     g_const = default_gconst(
         cam.planar_view_constants(),
         renderer.scene_lights.num_local_lights)
@@ -275,13 +302,30 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
         # without the device actually running (observed once through the
         # TPU relay: an 0.6 ms 1080p ReSTIR frame) — re-time once
         times_ms = time_frames()
+    forced_readback = False
+    if float(np.percentile(times_ms, 50)) < 5.0 and width * height >= 2**18:
+        # block_until_ready PERSISTENTLY lying (seen twice in r5 bring-up:
+        # 0.47 ms GI frames at 512^2): time with a per-frame one-scalar
+        # readback, which cannot return before the device work finishes
+        forced_readback = True
+        fsum = jax.jit(lambda g, s: render_frame(renderer, g, s)[1].sum())
+        jax.block_until_ready(fsum(at_frame(0), state))
+        ts = []
+        for i in range(frames):
+            t0 = time.perf_counter()
+            guarded_readback(fsum(at_frame(i + 1), state))
+            ts.append(time.perf_counter() - t0)
+        times_ms = np.asarray(ts) * 1e3
     p50 = float(np.percentile(times_ms, 50))
     rays = count_frame_rays(at_frame(1), width, height)
 
-    # truncation telemetry (VERDICT r2 #4): True = this scene/camera
-    # overflowed the per-bundle candidate budget somewhere (possible
-    # silent misses) — tune k_cand/cluster_size until False
+    # truncation telemetry (VERDICT r2 #4 / r4 #4): the probe flag is the
+    # RAW pre-fallback truncation; with the exact bounded fallback on,
+    # every truncated bundle re-traces with full-length lists, so
+    # traversal_overflow (= possible silent misses in the results)
+    # reports False and the raw flag is surfaced separately
     overflow = None
+    truncation = None
     if renderer.tracers.overflow_probe is not None and readback_ok():
         from raytracer2_tpu.render import rays as raysmod
 
@@ -302,12 +346,21 @@ def run_pipeline(width: int, height: int, frames: int, scene_kind: str,
             probe_rays.t_min, probe_rays.t_max, presorted=True)
         jax.block_until_ready(flag)
         v = guarded_readback(flag)
-        overflow = bool(v) if v is not None else None
+        truncation = bool(v) if v is not None else None
+        if truncation is not None:
+            overflow = (truncation and not
+                        renderer.tracers.overflow_exact_fallback)
 
     out = {
         "p50_ms": round(p50, 2),
         "p95_ms": round(float(np.percentile(times_ms, 95)), 2),
         "traversal_overflow": overflow,
+        "truncation_prefallback": truncation,
+        "truncation_exact_fallback": bool(
+            renderer.tracers.overflow_exact_fallback),
+        "k_cand_auto": k_cand_auto,
+        "k_cand_needed": k_cand_needed,
+        "timing_forced_readback": forced_readback,
         "rays_per_frame": rays,
         "mrays_nominal": round(rays / (p50 / 1e3) / 1e6, 3),
         "scene": scene_kind,

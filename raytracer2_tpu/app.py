@@ -216,6 +216,29 @@ def main(argv=None) -> int:
         position=tuple(args.camera_pos), direction=tuple(args.camera_dir),
         fov=args.fov)
 
+    if args.k_cand is None:
+        # auto-size the traversal candidate budgets for this scene/camera
+        # (VERDICT r4 #4): zero-truncation k_cand per ray class, with the
+        # bounded overflow fallback still on as the safety net
+        from raytracer2_tpu.render.app_bridge import (
+            make_tracers, suggest_k_cand)
+
+        sug = suggest_k_cand(renderer,
+                             view=camera.planar_view_constants())
+        if sug:
+            logger.info("zero-truncation k_cand per class: %s "
+                        "(pixel-tile truncation stays covered by the "
+                        "exact bounded fallback — cheaper than ranking "
+                        "full lists for sky/grazing bundles)",
+                        {str(k): v for k, v in sug.items()})
+            apply = {k: v for k, v in sug.items() if k is not True}
+            cur = renderer.tracers.k_cand_by_class or {}
+            apply = {k: v for k, v in apply.items() if v != cur.get(k)}
+            if apply:
+                renderer = renderer._replace(tracers=make_tracers(
+                    scene, use_bvh=not args.no_bvh, backend=args.backend,
+                    **dict(tracer_opts, k_cand_per_class=apply)))
+
     environment = args.environment
     if environment is None:
         environment = 1 if args.skybox else 0

@@ -380,6 +380,71 @@ def _rank_rows(cand_idx, cand_t, b, kp):
             cand_t.reshape(b, 8, kp // 8))
 
 
+@partial(jax.jit, static_argnames=("bundle_size", "cull", "presorted"))
+def union_max_bundle(clusters, origins, directions, t_min, t_max,
+                     scene_min, scene_max, bundle_size: int = 128,
+                     cull: str = "exact", presorted: bool = False):
+    """Max per-bundle candidate-union size for this batch — i.e. the
+    k_cand a zero-truncation traversal of these rays needs (VERDICT r4
+    #4: auto-size the candidate budget instead of shipping a default
+    that silently leans on the overflow fallback). Mirrors the bundle
+    composition of the real prep for the given cull: cand0-sorted exact
+    slab unions, or interval slab unions on presorted tiles. Returns a
+    device i32 scalar (callers read it back guarded)."""
+    from raytracer2_tpu.ops.traverse_bundle import (
+        _bundle_bounds, sort_rays_for_coherence)
+
+    n_orig = origins.shape[0]
+    p = bundle_size
+    c = clusters.num_clusters
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_orig,))
+    t_max_a = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_orig,))
+    if presorted:
+        o, d, tn, tx = origins, directions, t_min, t_max_a
+    else:
+        if cull == "interval":
+            perm = sort_rays_for_coherence(origins, directions,
+                                           scene_min, scene_max)
+        else:
+            key = _cand0_sort_key(origins, directions, t_min, t_max_a,
+                                  clusters.aabb_min, clusters.aabb_max,
+                                  scene_min, scene_max)
+            perm = jnp.argsort(key)
+        o, d, tn, tx = _apply_permutation(perm, [origins, directions],
+                                          [t_min, t_max_a])
+
+    if cull == "interval":
+        o, d, tn, tx = _pad_rays(o, d, tn, tx, p)
+        o_min, o_max, inv_lo, inv_hi, bundle_tmax = _bundle_bounds(
+            o, d, tx, p)
+        may_hit, _ = bundle_cluster_overlap(
+            o_min, o_max, inv_lo, inv_hi, bundle_tmax,
+            clusters.aabb_min, clusters.aabb_max)
+        return jnp.max(jnp.sum(may_hit.astype(jnp.int32), axis=-1))
+
+    # exact per-ray cull, chunked like _prepare_bundles_exact
+    cb = max(1, CULL_CHUNK_BYTES // (4 * max(c, 1) * p))
+    n_bundles = (n_orig + p - 1) // p
+    cb = min(cb, n_bundles)
+    o, d, tn, tx = _pad_rays(o, d, tn, tx, cb * p)
+    nb = o.shape[0] // (cb * p)
+
+    def one(args):
+        oo, dd, tnn, txx = args
+        e = _entry_exact(oo, dd, tnn, txx,
+                         clusters.aabb_min, clusters.aabb_max)
+        ue = jnp.min(e.reshape(cb, p, c), axis=1)
+        return jnp.sum(jnp.isfinite(ue), axis=-1)
+
+    if nb == 1:
+        n_union = one((o, d, tn, tx))
+    else:
+        n_union = jax.lax.map(
+            one, (o.reshape(nb, cb * p, 3), d.reshape(nb, cb * p, 3),
+                  tn.reshape(nb, cb * p), tx.reshape(nb, cb * p)))
+    return jnp.max(n_union)
+
+
 def _prepare_bundles(clusters, origins, directions, t_min, t_max,
                      scene_min, scene_max, bundle_size, presorted,
                      exact_key=False, k_cand=256, sort_key="morton"):
@@ -437,9 +502,17 @@ def _prepare_bundles(clusters, origins, directions, t_min, t_max,
     entry = jnp.where(may_hit, jnp.maximum(t_enter, 0.0), jnp.inf)
     c = entry.shape[1]
     k = min(k_cand, c)
-    neg_t, idx = jax.lax.top_k(-entry, k)  # nearest-first
-    cand_t = -neg_t
-    cand_idx = idx.astype(jnp.int32)
+    if k <= 384 and k < c:
+        neg_t, idx = jax.lax.top_k(-entry, k)  # nearest-first
+        cand_t = -neg_t
+        cand_idx = idx.astype(jnp.int32)
+    else:
+        # top_k cost scales with k (k=C measured 427 ms on [32, 3072]
+        # rows vs ~2 ms for argsort); auto-sized budgets (VERDICT r4 #4)
+        # can push k past 512, where a full argsort + slice wins. Ties
+        # break by index in both, so candidate order is identical.
+        cand_idx = jnp.argsort(entry, axis=-1)[:, :k].astype(jnp.int32)
+        cand_t = jnp.take_along_axis(entry, cand_idx, axis=-1)
     n_union = jnp.sum(jnp.isfinite(entry), axis=-1)
     cand_count = jnp.minimum(
         jnp.sum(jnp.isfinite(cand_t), axis=-1), n_union).astype(jnp.int32)

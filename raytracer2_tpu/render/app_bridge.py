@@ -51,6 +51,17 @@ class Tracers:
     # some ray may have falsely missed (VERDICT r2 #4: surfaced, not
     # silent). None for engines with no truncation (brute, lbvh, bundle).
     overflow_probe: Callable | None = None
+    # (o, d, tmin, tmax, presorted) -> i32 device scalar: the max
+    # per-bundle candidate-union size this batch needs — the k_cand that
+    # traverses it with zero truncation (VERDICT r4 #4 auto-sizing)
+    union_max: Callable | None = None
+    # the per-class k_cand the tracers were built with (for telemetry)
+    k_cand_by_class: dict | None = None
+    # True when candidate truncation is made EXACT by the bounded
+    # per-bundle overflow fallback (overflowed bundles re-trace with
+    # full-length lists), i.e. the overflow_probe flag means "fallback
+    # engaged", not "possible silent misses"
+    overflow_exact_fallback: bool = False
 
 
 def make_tracers(scene: Scene, bvh: BVH | None = None,
@@ -63,6 +74,7 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                  bundle_size: int | None = None,
                  sort_key: str | None = None,
                  shadow_order: str = "pixz",
+                 k_cand_per_class: dict | None = None,
                  ) -> Tracers:
     """Traversal backends:
     - "auto" (default): "bundle_pallas" on TPU, "bundle" elsewhere (the
@@ -137,6 +149,12 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
             if val is not None:
                 for shapes in by_sort.values():
                     shapes[key] = val
+        # per-class candidate budgets (auto-sizing, VERDICT r4 #4): keys
+        # are by_sort's — True (pixel tiles), False (incoherent), "shadow"
+        if k_cand_per_class:
+            for cls, val in k_cand_per_class.items():
+                if cls in by_sort and val is not None:
+                    by_sort[cls]["k_cand"] = int(val)
         # visibility-batch ray ordering (walk-step telemetry, corridor
         # shadow class: pixz 1552 / octz 815 / cand0 495 steps — but
         # octz needs only a [N] u32 argsort and cand0 a dense [N, C]
@@ -195,8 +213,20 @@ def make_tracers(scene: Scene, bvh: BVH | None = None,
                 wald_rows=wald_rows, **kw)
             return flag
 
+        def umax(o, d, tmin, tmax, presorted=False):
+            cfg = by_sort[presorted]
+            return ptm.union_max_bundle(
+                clusters, o, d, tmin, tmax, scene_min, scene_max,
+                bundle_size=cfg["bundle_size"],
+                cull=("interval" if cfg.get("cull") == "interval"
+                      else "exact"),
+                presorted=_sortcfg(presorted))
+
         return Tracers(closest_hit=closest, occluded=occl,
-                       overflow_probe=probe)
+                       overflow_probe=probe, union_max=umax,
+                       k_cand_by_class={cls: cfg["k_cand"]
+                                        for cls, cfg in by_sort.items()},
+                       overflow_exact_fallback=True)
     elif backend == "pairs":
         # round-4 pair-sweep engine (ops/pallas_pairs.py): exact and
         # tested, but a measured production NEGATIVE (16x slower than
@@ -484,3 +514,77 @@ def make_bridge(
         neighbor_offsets=neighbor_offsets,
         viewport=(width, height),
     )
+
+
+def suggest_k_cand(renderer, view=None, margin: float = 1.25,
+                   quantum: int = 64, k_floor: int = 96,
+                   n_incoherent: int = 65536,
+                   timeout: float = 60.0) -> dict | None:
+    """Auto-size the per-class candidate budgets (VERDICT r4 #4): probe
+    the max per-bundle candidate union for (a) this camera's primary
+    tiles (interval cull, presorted Z/tile order — the class the bench
+    overflow probe measures) and (b) a deterministic synthetic incoherent
+    batch (in-AABB origins, random directions — the worst-case proxy for
+    BRDF/shadow batches), then return the by_sort-keyed k_cand dict a
+    zero-truncation traversal needs, or None when the current budgets
+    already match (or the probe/readback is unavailable). The bounded
+    overflow fallback stays on as the safety net for frame-to-frame
+    variation beyond the probe's margin.
+
+    Callers rebuild with:
+        tracers = make_tracers(scene, backend=..., k_cand_per_class=sug)
+        renderer = renderer._replace(tracers=tracers)
+    """
+    import numpy as np
+
+    from raytracer2_tpu.render import rays as raysmod
+    from raytracer2_tpu.utils.readback import guarded_scalar
+
+    tr = renderer.tracers
+    if tr.union_max is None or tr.k_cand_by_class is None:
+        return None
+    scene = renderer.scene
+    if scene.host_tri_v0 is None or scene.num_triangles < 2:
+        return None
+    lo = scene.host_tri_v0.min(axis=0)
+    hi = scene.host_tri_v0.max(axis=0)
+
+    rng = np.random.default_rng(0)
+    o_inc = jnp.asarray(rng.uniform(lo, hi, (n_incoherent, 3))
+                        .astype(np.float32))
+    v = rng.normal(size=(n_incoherent, 3)).astype(np.float32)
+    d_inc = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+    tn = jnp.full((n_incoherent,), 1e-3, jnp.float32)
+    tx = jnp.full((n_incoherent,), 1e5, jnp.float32)
+    maxes = [tr.union_max(o_inc, d_inc, tn, tx, presorted=False)]
+
+    if view is not None:
+        w, h = renderer.width, renderer.height
+        px, py = raysmod.pixel_grid(w, h)
+        pr = raysmod.setup_primary_ray(px.reshape(-1), py.reshape(-1),
+                                       view)
+        tiles = raysmod.tile_shape(w, h)
+        if tiles is not None:
+            zidx = raysmod.tile_permutation(w, h, tiles[1], tiles[0])
+        else:
+            zidx, _ = raysmod.zorder_permutation(w, h)
+        maxes.append(tr.union_max(
+            pr.origin[zidx], pr.direction[zidx], pr.t_min, pr.t_max,
+            presorted=True))
+
+    host = guarded_scalar(jnp.stack(maxes), timeout=timeout)
+    if host is None:
+        return None
+
+    def size(mx):
+        need = max(int(np.ceil(mx * margin / quantum)) * quantum, k_floor)
+        return need
+
+    k_inc = size(int(host[0]))
+    sug = {False: k_inc, "shadow": k_inc}
+    if view is not None:
+        sug[True] = size(int(host[1]))
+    cur = tr.k_cand_by_class
+    if all(sug[c] == cur.get(c) for c in sug):
+        return None
+    return sug

@@ -53,19 +53,91 @@ def di_fused_resampling_pass(
     spatio-temporal call (di_fused_resampling.rgen:69-70) back ON through
     the library path (restir/di_resampling.py, VERDICT r3 #4): 1 =
     temporal (needs `motion` + `prev_di_reservoirs`), 2 = spatial,
-    3 = both."""
+    3 = both.
+
+    4K-class launches (> _BAND_THRESHOLD lanes) in the default mode-0
+    configuration run the body in row bands under lax.map (VERDICT r4
+    #3: the sampling/shading temps of this pass are among the largest
+    contributors to the 15 GB whole-image compiled peak at 4K). Banding
+    is bit-exact — every RNG stream is seeded by pixel coordinates and
+    mode 0 has no cross-pixel reads. Resampling modes (stencil reads)
+    and the boiling filter (16x16 tile reduce) disable it."""
+    from raytracer2_tpu.render.gi_passes import _BAND_THRESHOLD
+
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
 
+    mode = int(g_const.enable_di_resampling)
+    if mode and not isinstance(row0, int) and halo_fn is None:
+        # ADVICE r4 (medium): under row sharding the reservoir buffers are
+        # LOCAL row slabs — gathering global rows into them silently clamps
+        # to wrong rows. The explicit-halo path provides halo_fn; anything
+        # else (a traced row0 without halo plumbing) must not run modes 1-3.
+        raise ValueError(
+            "enable_di_resampling != 0 under row sharding requires the "
+            "explicit-halo path (make_sharded_render_fn(explicit_halo="
+            "True)); local reservoir slabs cannot be gathered with global "
+            "rows")
+
+    trp = g_const.restir_di.temporal_resampling_params
+    if (mode == 0 and height * w_res > _BAND_THRESHOLD
+            and primary_surface is not None and isinstance(row0, int)
+            and not trp.enable_boiling_filter):
+        hb = max(1, (1 << 21) // max(w_res, 1))
+        nb = (height + hb - 1) // hb
+        pad = nb * hb - height
+
+        def band(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                ).reshape((nb, hb) + a.shape[1:]) if pad else
+                a.reshape((nb, hb) + a.shape[1:]), tree)
+
+        args = (band(px), band(py), band(primary_surface),
+                band(diffuse_img), band(specular_img))
+
+        def one(a):
+            px_b, py_b, prim_b, dif_b, spec_b = a
+            return _di_fused_body(g_const, bridge, light_ctx, px_b, py_b,
+                                  prim_b, dif_b, spec_b)
+
+        out = jax.lax.map(one, args)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * hb,) + a.shape[2:])[:height], out)
+
+    return _di_fused_body(
+        g_const, bridge, light_ctx, px, py,
+        (primary_surface if primary_surface is not None
+         else bridge.get_gbuffer_surface(px, py, False)),
+        diffuse_img, specular_img,
+        mode=mode, motion=motion, prev_di_reservoirs=prev_di_reservoirs,
+        row0=row0, field=field, halo_fn=halo_fn, halo_rows=halo_rows)
+
+
+def _di_fused_body(
+    g_const: GConst,
+    bridge: Bridge,
+    light_ctx: LightSamplingContext,
+    px, py,
+    surface,
+    diffuse_img: jax.Array,
+    specular_img: jax.Array,
+    mode: int = 0,
+    motion=None,
+    prev_di_reservoirs=None,
+    row0=0,
+    field: int = 0,
+    halo_fn=None,
+    halo_rows: int = 8,
+) -> tuple[dires.DIReservoir, jax.Array, jax.Array]:
     rng = rtrng.init_random_sampler(
         px.astype(jnp.uint32), py.astype(jnp.uint32),
         g_const.frame + jnp.uint32(13))
     tile_rng = rtrng.init_random_sampler(
         (px // 16).astype(jnp.uint32), (py // 16).astype(jnp.uint32),
         g_const.frame + jnp.uint32(13))
-
-    surface = (primary_surface if primary_surface is not None
-               else bridge.get_gbuffer_surface(px, py, False))
 
     isp = g_const.restir_di.initial_sampling_params
     sample_params = init_sample_parameters(
@@ -97,17 +169,6 @@ def di_fused_resampling_pass(
     # (di_fused_resampling.rgen:69-70) — quirk preserved at mode 0; modes
     # 1/2/3 run the library's temporal/spatial/both stages
     # (DIResamplingFunctions.hlsli:170/504 made executable)
-    mode = int(g_const.enable_di_resampling)
-    if mode and not isinstance(row0, int) and halo_fn is None:
-        # ADVICE r4 (medium): under row sharding the reservoir buffers are
-        # LOCAL row slabs — gathering global rows into them silently clamps
-        # to wrong rows. The explicit-halo path provides halo_fn; anything
-        # else (a traced row0 without halo plumbing) must not run modes 1-3.
-        raise ValueError(
-            "enable_di_resampling != 0 under row sharding requires the "
-            "explicit-halo path (make_sharded_render_fn(explicit_halo="
-            "True)); local reservoir slabs cannot be gathered with global "
-            "rows")
     trp = g_const.restir_di.temporal_resampling_params
     if mode in (1, 3) and prev_di_reservoirs is not None \
             and motion is not None:
