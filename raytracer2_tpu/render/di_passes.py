@@ -84,7 +84,9 @@ def di_fused_resampling_pass(
     if (mode == 0 and height * w_res > _BAND_THRESHOLD
             and primary_surface is not None and isinstance(row0, int)
             and not trp.enable_boiling_filter):
-        hb = max(1, (1 << 21) // max(w_res, 1))
+        # band height: ~half the threshold's lane count per band (so a
+        # monkeypatched threshold in tests forces real multi-band runs)
+        hb = max(1, min(1 << 21, _BAND_THRESHOLD // 2) // max(w_res, 1))
         nb = (height + hb - 1) // hb
         pad = nb * hb - height
 

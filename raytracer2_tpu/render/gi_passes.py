@@ -92,19 +92,64 @@ def brdf_rays_pass(
     specular). Under checkerboard (field != 0) the launch grid is the
     active half-field (brdf_rays.rgen:21) and every returned image is
     [H, W//2]. primary_surface: the gather-free launch-grid surface
-    (gbuffer.surface_from_gbuffer_grid), computed once per frame."""
+    (gbuffer.surface_from_gbuffer_grid), computed once per frame.
+
+    4K-class launches (> _BAND_THRESHOLD lanes) run the body in row
+    bands under lax.map (VERDICT r4 #3: the per-lane lobe-sampling and
+    SecondaryGBuffer pack temps are 4K-peak contributors; the pass is
+    per-pixel independent and RNG is pixel-seeded, so banding is
+    bit-exact up to the band-local bounce-ray sort, which the exact cull
+    makes hit-identical)."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
     w_res = width // 2 if field else width
+
+    if (height * w_res > _BAND_THRESHOLD and primary_surface is not None
+            and isinstance(row0, int)):
+        # band height: ~half the threshold's lane count per band (so a
+        # monkeypatched threshold in tests forces real multi-band runs)
+        hb = max(1, min(1 << 21, _BAND_THRESHOLD // 2) // max(w_res, 1))
+        nb = (height + hb - 1) // hb
+        pad = nb * hb - height
+
+        def band(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                ).reshape((nb, hb) + a.shape[1:]) if pad else
+                a.reshape((nb, hb) + a.shape[1:]), tree)
+
+        args = (band(px), band(py), band(primary_surface),
+                band(diffuse_img), band(specular_img))
+
+        def one(a):
+            px_b, py_b, prim_b, dif_b, spec_b = a
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((hb * w_res,) + x.shape[2:]), prim_b)
+            return _brdf_rays_body(
+                scene, g_const, tracers, bridge, px_b.reshape(-1),
+                py_b.reshape(-1), flat, dif_b, spec_b, hb, w_res)
+
+        out = jax.lax.map(one, args)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * hb,) + a.shape[2:])[:height], out)
+
     pxf = px.reshape(-1)
     pyf = py.reshape(-1)
     n = pxf.shape[0]
-
     if primary_surface is not None:
         surface = jax.tree_util.tree_map(
             lambda a: a.reshape((n,) + a.shape[2:]), primary_surface)
     else:
         surface = bridge.get_gbuffer_surface(pxf, pyf, False)
+    return _brdf_rays_body(scene, g_const, tracers, bridge, pxf, pyf,
+                           surface, diffuse_img, specular_img,
+                           height, w_res)
+
+
+def _brdf_rays_body(scene, g_const, tracers, bridge, pxf, pyf, surface,
+                    diffuse_img, specular_img, height, w_res):
+    n = pxf.shape[0]
     valid = surface.valid
 
     # RAB_InitRandomSampler(launchID, 5) (brdf_rays.rgen:28)
@@ -327,7 +372,9 @@ def shade_secondary_surfaces_pass(
     n_lanes = height * w_res
     if n_lanes > _BAND_THRESHOLD and primary_surface is not None \
             and isinstance(row0, int):
-        hb = max(1, (1 << 21) // max(w_res, 1))
+        # band height: ~half the threshold's lane count per band (so a
+        # monkeypatched threshold in tests forces real multi-band runs)
+        hb = max(1, min(1 << 21, _BAND_THRESHOLD // 2) // max(w_res, 1))
         nb = (height + hb - 1) // hb
         pad = nb * hb - height
 
@@ -635,13 +682,51 @@ def gi_final_shading_pass(
     field: int = 0,
     primary_surface=None,
 ) -> tuple[jax.Array, jax.Array]:
-    """gi_final_shading.rgen:43-101 (checkerboard launch mapping :45)."""
-    from raytracer2_tpu.render.surface import evaluate_brdf
+    """gi_final_shading.rgen:43-101 (checkerboard launch mapping :45).
 
+    4K-class launches run per-pixel in row bands under lax.map (VERDICT
+    r4 #3) — the pass is pixel-independent (final visibility ray, split
+    BRDF, MIS vs the initial sample) so banding is bit-exact."""
     px, py = raysmod.active_pixel_grid(width, height, field)
     py = py + row0
+    w_res = width // 2 if field else width
+
+    if (height * w_res > _BAND_THRESHOLD and primary_surface is not None
+            and isinstance(row0, int)):
+        # band height: ~half the threshold's lane count per band (so a
+        # monkeypatched threshold in tests forces real multi-band runs)
+        hb = max(1, min(1 << 21, _BAND_THRESHOLD // 2) // max(w_res, 1))
+        nb = (height + hb - 1) // hb
+        pad = nb * hb - height
+
+        def band(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                ).reshape((nb, hb) + a.shape[1:]) if pad else
+                a.reshape((nb, hb) + a.shape[1:]), tree)
+
+        args = (band(primary_surface), band(reservoirs), band(secondary),
+                band(diffuse_img), band(specular_img))
+
+        def one(a):
+            prim_b, res_b, sec_b, dif_b, spec_b = a
+            return _gi_final_shading_body(
+                g_const, bridge, res_b, sec_b, dif_b, spec_b, prim_b)
+
+        out = jax.lax.map(one, args)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * hb,) + a.shape[2:])[:height], out)
+
     primary = (primary_surface if primary_surface is not None
                else bridge.get_gbuffer_surface(px, py, False))
+    return _gi_final_shading_body(g_const, bridge, reservoirs, secondary,
+                                  diffuse_img, specular_img, primary)
+
+
+def _gi_final_shading_body(g_const, bridge, reservoirs, secondary,
+                           diffuse_img, specular_img, primary):
+    from raytracer2_tpu.render.surface import evaluate_brdf
 
     valid = gi_is_valid(reservoirs)
     radiance = reservoirs.radiance * reservoirs.weight_sum[..., None]
