@@ -217,7 +217,8 @@ def sample_local_lights(
 
         jit3, coherent_rng = rtrng.sample_uniform_n(coherent_rng, 3)
         pos = (surface.world_pos + (jit3 - 0.5)
-               * regir_mod.get_jitter_scale(ctx.regir_params))
+               * regir_mod.get_jitter_scale(ctx.regir_params,
+                                            surface.world_pos))
         regir_cell = regir_mod.world_pos_to_cell_index(ctx.regir_params, pos)
 
     for _ in range(sample_params.num_local_light_samples):

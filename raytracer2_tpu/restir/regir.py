@@ -1,16 +1,23 @@
-"""ReGIR: world-space light-grid presampling (grid layout).
+"""ReGIR: world-space light presampling — grid AND onion layouts.
 
 Port of rtxdi/ReGIR.h + ReGIRSampling.hlsli + the grid build pass
 (PresamplingFunctions.hlsli:168-249). The reference ships this code but
 compiles it out (RTXDI_REGIR_DISABLED) and the host never enables it
-(SURVEY.md §2.3); the rebuild provides the GRID layout as a working
-capability — each grid cell holds `lights_per_cell` RIS-selected lights
-weighted by their contribution to the cell volume, and local-light sampling
-mode 2 draws candidates from the surface's (jittered) cell.
+(SURVEY.md §2.3); the rebuild provides both layouts as working
+capabilities — each cell holds `lights_per_cell` RIS-selected lights
+weighted by their contribution to the cell volume, and local-light
+sampling mode 2 draws candidates from the surface's (jittered) cell.
 
-The onion layout's host-side layer tables are not implemented (the grid
-covers the capability; the reference never executes either).
-"""
+Grid: regular cellsX*cellsY*cellsZ lattice (ReGIRSampling.hlsli:14-61).
+Onion: concentric log-spaced spherical shells of latitude rings whose
+cell size grows with distance from the center (ReGIRSampling.hlsli:
+64-215) — constant RELATIVE resolution, the layout meant for cameras
+inside large scenes. The reference ships only the DECLARATION of the
+onion table builder (ReGIR.h:160 `InitializeOnion` has no
+implementation anywhere in the repo), so build_onion_layout here is an
+original construction built to satisfy the shipped cell-indexing math:
+ring 0 on the equator, rings i>0 duplicated for +-elevation, ~isotropic
+cells (azimuthal arc ~ radial thickness ~ r*(layerScale-1))."""
 
 from __future__ import annotations
 
@@ -28,9 +35,106 @@ from raytracer2_tpu.utils import rng as rtrng
 
 
 @dataclasses.dataclass(frozen=True)
+class OnionLayout:
+    """ReGIR_OnionParameters analogue (rtxdi/ReGIRParameters.h:27-94):
+    host-built layer-group + ring tables, all static python tuples (they
+    fold into the compiled program as constants)."""
+
+    # per layer group
+    inner_radius: tuple      # float — group's innermost shell radius
+    layer_scale: tuple       # float — radial ratio between layers
+    layer_count: tuple       # int
+    equatorial_cell_angle: tuple  # float
+    ring_offset: tuple       # int — first ring in the flat ring tables
+    ring_count: tuple        # int
+    cells_per_layer: tuple   # int
+    layer_cell_offset: tuple  # int — global cell index of the group
+    # flat ring tables (all groups concatenated)
+    ring_cell_angle: tuple   # float
+    ring_cell_offset: tuple  # int — offset within the layer
+    ring_cell_count: tuple   # int
+    # jitter curve (ReGIRSampling.hlsli:66-79)
+    cubic_root_factor: float
+    linear_factor: float
+    num_cells: int
+
+    @property
+    def outer_radius(self) -> tuple:
+        return tuple(r * s ** c for r, s, c in zip(
+            self.inner_radius, self.layer_scale, self.layer_count))
+
+
+def build_onion_layout(cell_size: float,
+                       detail_layers: int = 5,
+                       coverage_layers: int = 10,
+                       detail_scale: float = 1.26,
+                       coverage_scale: float = 1.6) -> OnionLayout:
+    """Build the onion layer/ring tables (ReGIROnionStaticParameters
+    defaults: 5 detail + 10 coverage layers, ReGIR.h:52-66; the SDK's
+    builder is absent from the reference, see module docstring).
+
+    Cell 0 is the center sphere of radius `cell_size`. Each group's
+    equatorial cell angle equals its layerScale - 1, making cells
+    ~isotropic (azimuthal arc r*angle ~ radial thickness r*(scale-1));
+    ring i sits at elevation i*angle, rings i>0 appear at +-elevation
+    with azimuthal counts shrinking by cos(elevation) so cells keep
+    their equatorial arc length."""
+    import math
+
+    groups = [(detail_layers, detail_scale), (coverage_layers,
+                                              coverage_scale)]
+    inner_radius, layer_scale, layer_count = [], [], []
+    eq_angle, ring_offset, ring_count = [], [], []
+    cells_per_layer, layer_cell_offset = [], []
+    r_angle, r_offset, r_count = [], [], []
+
+    inner = cell_size
+    next_cell = 1  # cell 0 = center sphere
+    for n_layers, scale in groups:
+        angle = scale - 1.0
+        n_rings = int(math.pi / 2 / angle + 0.5) + 1
+        inner_radius.append(inner)
+        layer_scale.append(scale)
+        layer_count.append(n_layers)
+        eq_angle.append(angle)
+        ring_offset.append(len(r_angle))
+        ring_count.append(n_rings)
+        off = 0
+        for i in range(n_rings):
+            elev = i * angle
+            cnt = max(1, int(round(2.0 * math.pi
+                                   * max(math.cos(elev), 1e-3) / angle)))
+            r_angle.append(2.0 * math.pi / cnt)
+            r_offset.append(off)
+            r_count.append(cnt)
+            off += cnt * (2 if i > 0 else 1)
+        cells_per_layer.append(off)
+        layer_cell_offset.append(next_cell)
+        next_cell += off * n_layers
+        inner *= scale ** n_layers
+
+    # jitter curve (GetJitterScale, ReGIRSampling.hlsli:66-79): in the
+    # coverage region cell extent grows ~linearly with r; the cubic-root
+    # branch covers the detail region's slower growth
+    linear = groups[-1][1] - 1.0
+    cubic = 1.0
+    return OnionLayout(
+        inner_radius=tuple(inner_radius), layer_scale=tuple(layer_scale),
+        layer_count=tuple(layer_count),
+        equatorial_cell_angle=tuple(eq_angle),
+        ring_offset=tuple(ring_offset), ring_count=tuple(ring_count),
+        cells_per_layer=tuple(cells_per_layer),
+        layer_cell_offset=tuple(layer_cell_offset),
+        ring_cell_angle=tuple(r_angle), ring_cell_offset=tuple(r_offset),
+        ring_cell_count=tuple(r_count),
+        cubic_root_factor=cubic, linear_factor=linear,
+        num_cells=next_cell)
+
+
+@dataclasses.dataclass(frozen=True)
 class ReGIRGridParameters:
-    """ReGIR_CommonParameters + ReGIR_GridParameters (rtxdi/ReGIRParameters.h),
-    grid layout only. All static."""
+    """ReGIR_CommonParameters + ReGIR_GridParameters (+ optional onion
+    tables) — rtxdi/ReGIRParameters.h. All static."""
 
     center: tuple[float, float, float] = (0.0, 0.0, 0.0)
     cell_size: float = 1.0
@@ -38,20 +142,35 @@ class ReGIRGridParameters:
     lights_per_cell: int = 128
     sampling_jitter: float = 1.0
     num_build_samples: int = 8
+    onion: OnionLayout | None = None  # set -> onion layout active
 
     @property
     def num_cells(self) -> int:
+        if self.onion is not None:
+            return self.onion.num_cells
         return self.cells[0] * self.cells[1] * self.cells[2]
 
 
-def get_jitter_scale(params: ReGIRGridParameters) -> float:
-    """(ReGIRSampling.hlsli:16-19)."""
-    return params.sampling_jitter * params.cell_size
+def get_jitter_scale(params: ReGIRGridParameters, world_pos=None):
+    """(ReGIRSampling.hlsli:16-19 grid / :66-79 onion: the onion jitter
+    grows with distance from the center like the cells do)."""
+    if params.onion is None or world_pos is None:
+        return params.sampling_jitter * params.cell_size
+    o = params.onion
+    center = jnp.asarray(params.center, jnp.float32)
+    d = jnp.linalg.norm(world_pos - center, axis=-1, keepdims=True) \
+        / params.cell_size
+    scale = jnp.maximum(1.0, jnp.maximum(
+        jnp.cbrt(d) * o.cubic_root_factor, d * o.linear_factor))
+    return scale * params.sampling_jitter * params.cell_size
 
 
 def world_pos_to_cell_index(params: ReGIRGridParameters,
                             world_pos: jax.Array) -> jax.Array:
-    """(ReGIRSampling.hlsli:21-34): [-1] outside the grid."""
+    """RTXDI_ReGIR_WorldPosToCellIndex (ReGIRSampling.hlsli:21-34 grid /
+    :81-127 onion): [-1] outside the covered volume."""
+    if params.onion is not None:
+        return _onion_world_pos_to_cell_index(params, world_pos)
     center = jnp.asarray(params.center, jnp.float32)
     counts = jnp.asarray(params.cells, jnp.int32)
     origin = center - counts.astype(jnp.float32) * (params.cell_size * 0.5)
@@ -65,7 +184,10 @@ def world_pos_to_cell_index(params: ReGIRGridParameters,
 def cell_index_to_world_pos(params: ReGIRGridParameters,
                             cell_index: jax.Array
                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """(ReGIRSampling.hlsli:36-60): (valid, center [..,3], radius)."""
+    """RTXDI_ReGIR_CellIndexToWorldPos (ReGIRSampling.hlsli:36-60 grid /
+    :129-215 onion): (valid, center [..,3], radius)."""
+    if params.onion is not None:
+        return _onion_cell_index_to_world_pos(params, cell_index)
     center = jnp.asarray(params.center, jnp.float32)
     counts = jnp.asarray(params.cells, jnp.int32)
     origin = center - counts.astype(jnp.float32) * (params.cell_size * 0.5)
@@ -77,6 +199,113 @@ def cell_index_to_world_pos(params: ReGIRGridParameters,
         * params.cell_size + origin
     radius = jnp.full(cell_index.shape, params.cell_size * jnp.sqrt(3.0))
     return valid, pos, radius
+
+
+def _onion_world_pos_to_cell_index(params: ReGIRGridParameters,
+                                   world_pos: jax.Array) -> jax.Array:
+    """(ReGIRSampling.hlsli:81-127), vectorized: the per-group branch
+    becomes a static python loop over the (two) layer groups with a
+    jnp.where select; ring tables gather by ringOffset + ringIndex."""
+    o = params.onion
+    center = jnp.asarray(params.center, jnp.float32)
+    p = world_pos - center
+    r = jnp.linalg.norm(p, axis=-1)
+    safe_r = jnp.maximum(r, 1e-20)
+    # RTXDI_CartesianToSpherical (RtxdiMath.hlsli:81-88) + PI shift
+    azimuth = jnp.arctan2(p[..., 2], p[..., 0]) + jnp.pi
+    elevation = jnp.arcsin(jnp.clip(p[..., 1] / safe_r, -1.0, 1.0))
+
+    ca = jnp.asarray(o.ring_cell_angle, jnp.float32)
+    co = jnp.asarray(o.ring_cell_offset, jnp.int32)
+    cc = jnp.asarray(o.ring_cell_count, jnp.int32)
+
+    idx = jnp.full(r.shape, -1, jnp.int32)
+    for g in reversed(range(len(o.layer_count))):
+        inner = o.inner_radius[g]
+        scale = o.layer_scale[g]
+        layer = jnp.floor(jnp.maximum(
+            0.0, jnp.log(safe_r / inner) / jnp.log(scale))).astype(jnp.int32)
+        layer = jnp.minimum(layer, o.layer_count[g] - 1)  # numeric guard
+        ring = jnp.floor(jnp.abs(elevation)
+                         / o.equatorial_cell_angle[g] + 0.5).astype(jnp.int32)
+        ring = jnp.clip(ring, 0, o.ring_count[g] - 1)
+        rr = o.ring_offset[g] + ring
+        cell_angle = ca[rr]
+        az = jnp.where((layer & 1) != 0, azimuth - cell_angle * 0.5, azimuth)
+        az = jnp.where(az < 0, az + 2.0 * jnp.pi, az)
+        cell = jnp.minimum((az / cell_angle).astype(jnp.int32), cc[rr] - 1)
+        ring_cell_offset = co[rr] + jnp.where(
+            (elevation < 0) & (ring > 0), cc[rr], 0)
+        cand = (cell + ring_cell_offset + layer * o.cells_per_layer[g]
+                + o.layer_cell_offset[g])
+        in_group = r <= inner * scale ** o.layer_count[g]
+        idx = jnp.where(in_group, cand, idx)
+    return jnp.where(r <= o.inner_radius[0], 0, idx)
+
+
+def _onion_cell_index_to_world_pos(params: ReGIRGridParameters,
+                                   cell_index: jax.Array
+                                   ) -> tuple[jax.Array, jax.Array,
+                                              jax.Array]:
+    """(ReGIRSampling.hlsli:129-215), vectorized; the ring walk becomes a
+    searchsorted over each group's precomputed ring-end table."""
+    import numpy as np
+
+    o = params.onion
+    center = jnp.asarray(params.center, jnp.float32)
+    shape = cell_index.shape
+
+    pos = jnp.zeros(shape + (3,), jnp.float32)
+    radius = jnp.zeros(shape, jnp.float32)
+
+    for g in range(len(o.layer_count)):
+        r0, r1 = o.ring_offset[g], o.ring_offset[g] + o.ring_count[g]
+        cnt = np.asarray(o.ring_cell_count[r0:r1])
+        offs = np.asarray(o.ring_cell_offset[r0:r1])
+        ends = offs + cnt * np.where(np.arange(len(cnt)) > 0, 2, 1)
+        ci = cell_index - o.layer_cell_offset[g]
+        layer = ci // o.cells_per_layer[g]
+        rem = ci - layer * o.cells_per_layer[g]
+        ring = jnp.searchsorted(jnp.asarray(ends), rem, side="right")
+        ring = jnp.clip(ring, 0, o.ring_count[g] - 1)
+        cell_angle = jnp.asarray(o.ring_cell_angle, jnp.float32)[r0 + ring]
+        cell_cnt = jnp.asarray(o.ring_cell_count, jnp.int32)[r0 + ring]
+        cell = rem - jnp.asarray(o.ring_cell_offset, jnp.int32)[r0 + ring]
+        eq = o.equatorial_cell_angle[g]
+        elevation = ring.astype(jnp.float32) * eq
+        elevation = jnp.where(cell >= cell_cnt, -elevation, elevation)
+        az = (cell.astype(jnp.float32) + 0.5) * cell_angle
+        az = jnp.where((layer & 1) != 0, az + cell_angle * 0.5, az)
+        az = az - jnp.pi
+        layer_inner = o.inner_radius[g] * o.layer_scale[g] ** \
+            layer.astype(jnp.float32)
+        layer_outer = layer_inner * o.layer_scale[g]
+        rmid = (layer_inner + layer_outer) * 0.5
+
+        def sph(rr, a, e):
+            # RTXDI_SphericalToCartesian (RtxdiMath.hlsli:90-101)
+            return jnp.stack([rr * jnp.cos(a) * jnp.cos(e),
+                              rr * jnp.sin(e),
+                              rr * jnp.sin(a) * jnp.cos(e)], axis=-1)
+
+        cell_center = sph(rmid, az, elevation)
+        az_c = az + cell_angle * 0.5
+        elev_c = jnp.where(elevation == 0, eq * 0.5,
+                           (jnp.abs(elevation) - eq * 0.5)
+                           * jnp.sign(elevation))
+        corner = sph(layer_outer, az_c, elev_c)
+        rad = jnp.linalg.norm(corner - cell_center, axis=-1)
+
+        sel = ((cell_index >= o.layer_cell_offset[g])
+               & (ci < o.cells_per_layer[g] * o.layer_count[g]))
+        pos = jnp.where(sel[..., None], cell_center, pos)
+        radius = jnp.where(sel, rad, radius)
+
+    is_center = cell_index == 0
+    radius = jnp.where(is_center, o.inner_radius[0], radius)
+    valid = (cell_index >= 0) & (cell_index < o.num_cells)
+    return valid, jnp.where(valid[..., None], pos + center, 0.0), \
+        jnp.where(valid, radius, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,90 @@ def test_select_from_cell():
     assert np.asarray(valid).all()
     assert np.all(np.asarray(idx) < 64)
     assert np.all(np.asarray(inv_pdf) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Onion layout (ReGIRSampling.hlsli:64-215; table builder is original —
+# the reference declares InitializeOnion but ships no implementation)
+# ---------------------------------------------------------------------------
+
+ONION = regir.ReGIRGridParameters(
+    center=(1.0, -2.0, 3.0), cell_size=0.5, lights_per_cell=32,
+    num_build_samples=8,
+    onion=regir.build_onion_layout(0.5, detail_layers=3,
+                                   coverage_layers=6))
+
+
+def test_onion_cell_count_and_center():
+    o = ONION.onion
+    assert o.num_cells == ONION.num_cells > 1
+    # the center sphere is cell 0
+    idx = regir.world_pos_to_cell_index(
+        ONION, jnp.asarray([[1.0, -2.0, 3.0], [1.1, -2.0, 3.0]]))
+    assert np.asarray(idx).tolist() == [0, 0]
+    valid, c, r = regir.cell_index_to_world_pos(ONION, jnp.asarray([0]))
+    assert bool(np.asarray(valid)[0])
+    np.testing.assert_allclose(np.asarray(c)[0], [1.0, -2.0, 3.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r)[0], o.inner_radius[0])
+
+
+def test_onion_encode_decode_consistency():
+    """Every in-volume point maps to a valid cell whose decoded center
+    lies in the same cell (encode(decode(encode(p))) == encode(p)) and
+    within ~2 cell radii of the point."""
+    o = ONION.onion
+    outer = o.outer_radius[-1]
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(512, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= rng.uniform(0.01, outer * 0.999, (512, 1))
+    pts = jnp.asarray(pts + np.asarray(ONION.center), jnp.float32)
+
+    idx = np.asarray(regir.world_pos_to_cell_index(ONION, pts))
+    assert np.all(idx >= 0)
+    assert np.all(idx < o.num_cells)
+    valid, centers, radius = regir.cell_index_to_world_pos(
+        ONION, jnp.asarray(idx))
+    assert np.all(np.asarray(valid))
+    # decoded centers re-encode to the same cell
+    idx2 = np.asarray(regir.world_pos_to_cell_index(ONION, centers))
+    frac = np.mean(idx2 == idx)
+    assert frac > 0.98, f"only {frac:.3f} of centers re-encode"  # fp ties
+    # the point lies within the cell's bounding radius (with slack for
+    # the corner-distance metric)
+    d = np.linalg.norm(np.asarray(pts) - np.asarray(centers), axis=-1)
+    ok = d <= np.asarray(radius) * 2.0 + 1e-3
+    assert np.mean(ok) > 0.99, f"{np.mean(ok):.3f} within radius"
+
+
+def test_onion_outside_returns_minus_one():
+    o = ONION.onion
+    far = jnp.asarray([[1.0, -2.0, 3.0 + o.outer_radius[-1] * 1.5]])
+    assert int(np.asarray(regir.world_pos_to_cell_index(ONION, far))[0]) == -1
+    v, _, _ = regir.cell_index_to_world_pos(ONION, jnp.asarray([-1]))
+    assert not bool(np.asarray(v)[0])
+
+
+def test_onion_presample_and_select():
+    v0 = jnp.asarray([[0.5, -2.0, 3.0], [1.5, -1.6, 3.2]], jnp.float32)
+    e1 = jnp.tile(jnp.asarray([[0.4, 0.0, 0.0]], jnp.float32), (2, 1))
+    e2 = jnp.tile(jnp.asarray([[0.0, 0.4, 0.0]], jnp.float32), (2, 1))
+    rad = jnp.tile(jnp.asarray([[4.0, 4.0, 4.0]], jnp.float32), (2, 1))
+    lights = store_triangle_lights(v0, e1, e2, rad)
+    region = LightBufferRegion(first_light_index=0, num_lights=2)
+    buf = regir.presample_regir_grid(7, lights, region, ONION)
+    assert buf.shape == (ONION.num_cells * ONION.lights_per_cell, 2)
+    w = np.asarray(jnp.abs(
+        jnp.asarray(np.asarray(buf)[:, 1]).view(jnp.float32)
+        if hasattr(jnp.asarray(buf)[:, 1], "view") else buf[:, 1]))
+    # cells near the lights carry nonzero weights
+    pts = jnp.asarray([[0.6, -1.9, 3.0]], jnp.float32)
+    cell = regir.world_pos_to_cell_index(ONION, pts)
+    st = rtrng.RngState(seed=jnp.asarray([7], jnp.uint32),
+                        index=jnp.asarray([1], jnp.uint32))
+    li, inv_pdf, valid, st = regir.select_light_from_regir_cell(
+        st, buf, cell, ONION)
+    assert bool(np.asarray(valid)[0])
+    assert int(np.asarray(li)[0]) in (0, 1)
+    assert float(np.asarray(inv_pdf)[0]) > 0.0
