@@ -368,6 +368,65 @@ def _cand0_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max,
     return (cand0 << tie_bits) | tie_part
 
 
+def _cand2_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
+    """Richer bundle-composition key than cand0: the nearest TWO
+    exactly-overlapped cluster ids (24 bits) | direction octant (3) |
+    coarse origin morton (5). Rationale: three recorded A/Bs (okey, hier,
+    sc4 — README r3) all showed bundle composition quality is worth far
+    more than key-pass cost, and every prior variant made the key
+    CHEAPER/coarser; this one makes it richer — rays sharing their two
+    nearest clusters overlap most of their candidate sets, so the bundle
+    union tightens where the SIMD union tax lives. Costs one top_k(2)
+    over the same dense [n, C] entry pass cand0 already runs."""
+    n = o.shape[0]
+    c = amin.shape[0]
+    chunk = max(1024,
+                (CULL_CHUNK_BYTES // (4 * max(c, 1))) // 1024 * 1024)
+    chunk = min(chunk, ((n + 1023) // 1024) * 1024)
+    o_p, d_p, tn_p, tx_p = _pad_rays(o, d, tn, tx, chunk)
+
+    def one(args):
+        oo, dd, tnn, txx = args
+        e = _entry_exact(oo, dd, tnn, txx, amin, amax)
+        neg_t, ids = jax.lax.top_k(-e, 2)
+        id0 = jnp.where(jnp.isfinite(neg_t[:, 0]),
+                        ids[:, 0].astype(jnp.uint32), jnp.uint32(c))
+        id1 = jnp.where(jnp.isfinite(neg_t[:, 1]),
+                        ids[:, 1].astype(jnp.uint32), jnp.uint32(c))
+        return id0, id1
+
+    nb = o_p.shape[0] // chunk
+    if nb == 1:
+        id0, id1 = one((o_p, d_p, tn_p, tx_p))
+    else:
+        id0, id1 = jax.lax.map(
+            one, (o_p.reshape(nb, chunk, 3), d_p.reshape(nb, chunk, 3),
+                  tn_p.reshape(nb, chunk), tx_p.reshape(nb, chunk)))
+        id0 = id0.reshape(-1)
+        id1 = id1.reshape(-1)
+    id0, id1 = id0[:n], id1[:n]
+
+    from raytracer2_tpu.ops.traverse_bundle import _expand_bits
+
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    q = jnp.clip((o - scene_min) / extent, 0.0, 0.999)
+    ocell = (q * 4.0).astype(jnp.uint32)  # 2 bits per axis -> 6, keep 5
+    o_morton = (_expand_bits(ocell[:, 0], 2)
+                | (_expand_bits(ocell[:, 1], 2) << 1)
+                | (_expand_bits(ocell[:, 2], 2) << 2)) & jnp.uint32(0x1F)
+
+    bits_c = max((c + 1).bit_length(), 1)  # <= 12 for C <= 4095
+    shift1 = 8
+    shift0 = shift1 + bits_c
+    if shift0 + bits_c > 32:  # huge C: fall back to id0-only packing
+        return (id0 << 8) | (octant << 5) | o_morton
+    return ((id0 << shift0) | (id1 << shift1)
+            | (octant << 5) | o_morton)
+
+
 def _rank_rows(cand_idx, cand_t, b, kp):
     """Pad candidate lists to kp and lay them out as DMA-sliceable rows."""
     k = cand_idx.shape[1]
@@ -569,6 +628,10 @@ def _prepare_bundles_exact(clusters, origins, directions, t_min, t_max,
         elif sort_key == "octz":
             key = _octz_sort_key(directions, t_max_a,
                                  scene_min, scene_max)
+        elif sort_key == "cand2":
+            key = _cand2_sort_key(origins, directions, t_min, t_max_a,
+                                  clusters.aabb_min, clusters.aabb_max,
+                                  scene_min, scene_max)
         else:
             key = _cand0_sort_key(origins, directions, t_min, t_max_a,
                                   clusters.aabb_min, clusters.aabb_max,

@@ -956,3 +956,75 @@ class TestPairTracer:
         np.testing.assert_array_equal(
             np.asarray(got.triangle_index)[m],
             np.asarray(ref.triangle_index)[m])
+
+
+class TestUnionMaxProbe:
+    """union_max_bundle (VERDICT r4 #4 k_cand auto-sizing): the probe's
+    max per-bundle union must equal the union computed from the raw
+    per-ray exact slab tests on the SAME sorted bundle composition, and
+    a cand2-keyed sort must keep exact hit parity."""
+
+    @pytest.fixture(scope="class")
+    def clusters(self, sphere_scene):
+        from raytracer2_tpu.ops.cluster import build_clusters
+
+        return build_clusters(sphere_scene.tri_v0, sphere_scene.tri_edge1,
+                              sphere_scene.tri_edge2, cluster_size=16)
+
+    def test_union_max_matches_manual(self, sphere_scene, clusters):
+        from raytracer2_tpu.ops import pallas_traverse as ptm
+
+        n = 512
+        rng = np.random.default_rng(11)
+        lo = np.asarray(jnp.min(clusters.aabb_min, axis=0))
+        hi = np.asarray(jnp.max(clusters.aabb_max, axis=0))
+        o = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        d = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+        tn = jnp.zeros((n,), jnp.float32)
+        tx = jnp.full((n,), 1e5, jnp.float32)
+        smin = jnp.min(clusters.aabb_min, axis=0)
+        smax = jnp.max(clusters.aabb_max, axis=0)
+
+        p = 128
+        got = int(ptm.union_max_bundle(clusters, o, d, tn, tx, smin, smax,
+                                       bundle_size=p, cull="exact"))
+
+        # manual: same cand0 sort, raw per-ray entries, union per bundle
+        key = ptm._cand0_sort_key(o, d, tn, tx, clusters.aabb_min,
+                                  clusters.aabb_max, smin, smax)
+        perm = jnp.argsort(key)
+        e = ptm._entry_exact(o[perm], d[perm], tn[perm], tx[perm],
+                             clusters.aabb_min, clusters.aabb_max)
+        ue = np.asarray(jnp.min(
+            e.reshape(n // p, p, -1), axis=1))
+        want = int(np.isfinite(ue).sum(axis=-1).max())
+        assert got == want
+
+    def test_cand2_sort_hit_parity(self, sphere_scene, clusters):
+        from raytracer2_tpu.ops import pallas_traverse as ptm
+
+        n = 1024
+        rng = np.random.default_rng(12)
+        lo = np.asarray(jnp.min(clusters.aabb_min, axis=0))
+        hi = np.asarray(jnp.max(clusters.aabb_max, axis=0))
+        o = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+        v = rng.normal(size=(n, 3)).astype(np.float32)
+        d = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+        tn = jnp.zeros((n,), jnp.float32)
+        tx = jnp.full((n,), 1e5, jnp.float32)
+        smin = jnp.min(clusters.aabb_min, axis=0)
+        smax = jnp.max(clusters.aabb_max, axis=0)
+
+        scene = sphere_scene
+        kw = dict(interpret=jnp.zeros(0).devices().pop().platform == "cpu")
+        base = ptm.closest_hit_bundle_pallas(
+            clusters, scene.tri_geometry, scene.tri_primitive,
+            o, d, tn, tx, smin, smax, **kw)
+        c2 = ptm.closest_hit_bundle_pallas(
+            clusters, scene.tri_geometry, scene.tri_primitive,
+            o, d, tn, tx, smin, smax, sort_key="cand2", **kw)
+        assert np.array_equal(np.asarray(base.triangle_index),
+                              np.asarray(c2.triangle_index))
+        np.testing.assert_allclose(np.asarray(base.t), np.asarray(c2.t),
+                                   rtol=1e-6)
