@@ -539,6 +539,33 @@ def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
             jax.block_until_ready(img)
             times.append(time.perf_counter() - t0)
             prev = v
+        forced = False
+        if (float(np.median(times)) * 1e3 < 5.0
+                and w * h >= 2**18):
+            # block_until_ready lying through the relay (0.64 ms "4K
+            # frames" observed): re-time with a per-frame one-scalar
+            # readback, which cannot return before the device finishes.
+            # st is donated; rebuild a fresh state for the re-time.
+            forced = True
+            fsum = jax.jit(
+                lambda g, s: render_frame(renderer, g, s)[1].sum(),
+                donate_argnums=(1,))
+            times = []
+            prev = v0
+            st2 = init_frame_state(w, h, checkerboard=bool(checkerboard))
+            # rebind: fsum donates st2 each call, so re-make per frame
+            for i in range(1, frames + 1):
+                v = view_at(i)
+                g = g_at(i, v, prev)
+                s_in = init_frame_state(w, h,
+                                        checkerboard=bool(checkerboard))
+                t0 = time.perf_counter()
+                val = fsum(g, s_in)
+                vhost = guarded_readback(val, timeout=300.0)
+                times.append(time.perf_counter() - t0)
+                prev = v
+                if vhost is None:
+                    break
     except Exception as e:  # noqa: BLE001 — typically RESOURCE_EXHAUSTED
         return {"error": f"{type(e).__name__}: {e}"[:160]}
 
@@ -549,6 +576,7 @@ def _run_fly_inner(width: int, height: int, frames: int, scene_kind: str,
     out = {
         "p50_ms": round(p50, 2),
         "mean_ms": round(float(arr.mean()), 2),
+        "timing_forced_readback": forced,
         "frames": frames,
         "resolution": f"{w}x{h}",
         "rays_per_frame": rays,

@@ -58,6 +58,7 @@ def render_reference(
     with_ray_count: bool = False,
     chunk_pixels: int = 1 << 18,
     emission_facing: str = "double",
+    compact_dead_lanes: bool = True,
 ) -> jax.Array:
     """Render the reference image; returns linear radiance [H, W, 3]
     (the Diffuse buffer the post-process pass reads in refrence mode,
@@ -117,6 +118,46 @@ def render_reference(
         def tf(o, d, tn, tx, presorted=False):
             return trace_fn(o, d, tn, tx)
 
+    def tf_compact(o, d, tn, tx):
+        """Bounce-level dead-lane compaction (VERDICT r4 #7: miss-heavy
+        scenes burned ~half their measured throughput on dead padding —
+        duck 6.7 live vs 14.3 nominal Mrays/s). Dead lanes (t_max < 0)
+        already walk for free, but the tracer's PREP (dense cull, sort,
+        gathers) is dense over all n lanes. When at least half the lanes
+        are dead, trace the live rays compacted into a half-size batch
+        and scatter the hits back — tracing is deterministic per ray and
+        the RNG streams never see lane positions, so results are
+        bit-identical. One lax.cond, both shapes compiled once."""
+        nn = o.shape[0]
+        h = nn // 2
+        dead = tx < 0.0
+        live_count = jnp.sum((~dead).astype(jnp.int32))
+
+        def full(_):
+            return tf(o, d, tn, tx)
+
+        def half(_):
+            perm = jnp.argsort(dead)[:h]  # live lanes first, stable
+            rec = tf(o[perm], d[perm], tn[perm], tx[perm])
+
+            def back(leaf, fill):
+                out = jnp.full((nn,) + leaf.shape[1:], fill, leaf.dtype)
+                return out.at[perm].set(leaf)
+
+            from raytracer2_tpu.ops.intersect import INVALID_INDEX
+
+            return HitRecord(
+                t=back(rec.t, 0.0),
+                u=back(rec.u, 0.0),
+                v=back(rec.v, 0.0),
+                geometry_index=back(rec.geometry_index, INVALID_INDEX),
+                primitive_id=back(rec.primitive_id, 0),
+                triangle_index=back(rec.triangle_index, -1))
+
+        if nn < 2048 or not compact_dead_lanes:
+            return full(None)
+        return jax.lax.cond(live_count <= h, half, full, None)
+
     def render_chunk(args):
         px, py, valid = args
 
@@ -160,10 +201,11 @@ def render_reference(
                 live_rays = live_rays + jnp.sum(active.astype(jnp.uint32))
             if pre is None:
                 # dead lanes get t_max = -1: the bundle tracer excludes
-                # them from bundle bounds and they can never hit (free
-                # lane compaction)
+                # them from bundle bounds and they can never hit; when
+                # at least half the lanes are dead the batch itself
+                # compacts to half size (tf_compact)
                 lane_tmax = jnp.where(active, t_max, -1.0)
-                hit = tf(origin, direction, t_min, lane_tmax)
+                hit = tf_compact(origin, direction, t_min, lane_tmax)
                 surface, emission = surface_from_hit(
                     scene, origin, direction, hit,
                     textures_enabled=textures_enabled)
