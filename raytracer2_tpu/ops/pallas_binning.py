@@ -24,13 +24,13 @@ counting sort from below:
 
     t_bin >= pairs * measured_ns_per_scalar_store
 
-Measured on TPU v5e (scripts/binning_ab.py, 2^22 elements): ~31 ns per
+Measured on TPU v5e (scripts/binning_ab.py, 2^22 elements): 28.0 ns per
 scalar store-chain step — and a real binning kernel does ~2x this work
 per pair (cursor read-modify-write + ray-id store + optionally 8 f32 of
-ray record). At quick scale's 4.2 M pairs that is >= 130-260 ms for the
+ray record). At quick scale's 4.2 M pairs that is >= 235 ms for the
 binning alone vs 55 ms for the ENTIRE bundle-engine trace; at cluster
 granularity (the formulation that would actually beat the union tax,
-~41 M pairs at ladder) it is >= 1.3-2.6 s. The XLA scatter path it was
+~41 M pairs at ladder) it is >= 2.3 s. The XLA scatter path it was
 meant to replace costs ~75 ns/pair — the kernel CANNOT go much below it
 because the hardware primitive (one scalar port, ~1 GHz, multi-cycle
 dependent chains) is the same one XLA's scatter emitter uses.
@@ -53,34 +53,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_kernel(ids_ref, out_ref, cursor_ref):
+def _scatter_kernel(ids_ref, out_ref, cursor_ref, stage_ref):
     """One grid step: BLOCK scalar scatter-chain iterations. Each step
-    reads an id from VMEM, bumps its SMEM cursor, and stores the loop
-    index at the cursored VMEM address — the minimal dependent chain any
-    counting-sort binning kernel must execute per pair."""
+    reads an id from SMEM, bumps its cursor, and stores the loop index at
+    the cursored SMEM address — the minimal dependent chain any
+    counting-sort binning kernel must execute per pair. (Mosaic scalar
+    stores can only target SMEM — data-dependent addressing never touches
+    the vector unit, which is the whole architectural point being
+    measured.)"""
     i = pl.program_id(0)
     block = ids_ref.shape[0]
+    n_bins = cursor_ref.shape[0]
+    stage_n = stage_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
-        cursor_ref[...] = jnp.zeros_like(cursor_ref)
+        def init(j, c):
+            cursor_ref[j] = 0
+            return c
+
+        jax.lax.fori_loop(0, n_bins, init, 0)
 
     def body(j, carry):
         c = ids_ref[j]
         slot = cursor_ref[c]
         cursor_ref[c] = slot + 1
-        out_ref[slot % out_ref.shape[0]] = j
-        return carry
+        stage_ref[slot % stage_n] = j
+        return carry + slot
 
-    jax.lax.fori_loop(0, block, body, 0)
+    acc = jax.lax.fori_loop(0, block, body, 0)
+    out_ref[i, 0] = acc  # keep the chain observable
 
 
 @partial(jax.jit, static_argnames=("block", "n_bins", "interpret"))
 def scatter_rate_probe(ids: jax.Array, block: int = 8192,
                        n_bins: int = 256,
                        interpret: bool = False) -> jax.Array:
-    """Run n scalar scatter-chain steps (n = ids.size, grid of
-    n/block); returns the out buffer (timing is the caller's job).
+    """Run n scalar scatter-chain steps (n = ids.size, grid of n/block);
+    returns a [grid] checksum vector (timing is the caller's job).
     ids must be int32 in [0, n_bins)."""
     n = ids.shape[0]
     assert n % block == 0
@@ -92,10 +102,11 @@ def scatter_rate_probe(ids: jax.Array, block: int = 8192,
             grid=grid,
             in_specs=[pl.BlockSpec((block,), lambda i: (i,),
                                    memory_space=pltpu.SMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.SMEM((n_bins,), jnp.int32)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.SMEM((n_bins,), jnp.int32),
+                            pltpu.SMEM((2048,), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((1 << 16,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids)

@@ -376,8 +376,17 @@ def _cand2_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
     more than key-pass cost, and every prior variant made the key
     CHEAPER/coarser; this one makes it richer — rays sharing their two
     nearest clusters overlap most of their candidate sets, so the bundle
-    union tightens where the SIMD union tax lives. Costs one top_k(2)
-    over the same dense [n, C] entry pass cand0 already runs."""
+    union should tighten where the SIMD union tax lives.
+
+    HARDWARE VERDICT (scripts/cand2_ab.py, ladder, r5): NEGATIVE on both
+    counts. Composition does NOT improve — per-bundle union statistics
+    are IDENTICAL to cand0 (mean 20.9 vs 21.1, p50 1, p95 120 at 128-ray
+    bundles on the 262k-tri corridor): the cand0 key + octant + 15-bit
+    origin morton already groups rays so well that the second-nearest id
+    adds nothing. And the key pass is ~10x more expensive (jax.lax.top_k
+    lowers to a full per-row sort on TPU; trace 3.62 s vs 0.32 s).
+    Hit parity exact (1.000000 agreement). Kept as a tested, recorded
+    data point; cand0 stays the default."""
     n = o.shape[0]
     c = amin.shape[0]
     chunk = max(1024,
@@ -418,13 +427,18 @@ def _cand2_sort_key(o, d, tn, tx, amin, amax, scene_min, scene_max):
                 | (_expand_bits(ocell[:, 1], 2) << 1)
                 | (_expand_bits(ocell[:, 2], 2) << 2)) & jnp.uint32(0x1F)
 
+    # id0 | OCTANT | id1 | morton: the octant must outrank id1 — rays
+    # sharing their nearest cluster but pointing opposite ways must not
+    # bundle (first cand2 A/B packed octant below id1 and lost 11x to
+    # ballooned direction intervals)
     bits_c = max((c + 1).bit_length(), 1)  # <= 12 for C <= 4095
-    shift1 = 8
-    shift0 = shift1 + bits_c
-    if shift0 + bits_c > 32:  # huge C: fall back to id0-only packing
+    if 2 * bits_c + 8 > 32:  # huge C: fall back to id0-only packing
         return (id0 << 8) | (octant << 5) | o_morton
-    return ((id0 << shift0) | (id1 << shift1)
-            | (octant << 5) | o_morton)
+    shift1 = 5
+    shift_oct = shift1 + bits_c
+    shift0 = shift_oct + 3
+    return ((id0 << shift0) | (octant << shift_oct) | (id1 << shift1)
+            | o_morton)
 
 
 def _rank_rows(cand_idx, cand_t, b, kp):

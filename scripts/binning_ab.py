@@ -27,11 +27,12 @@ def main():
     ids = jnp.asarray(rng.integers(0, 256, n, dtype=np.int32))
 
     out = scatter_rate_probe(ids)
-    jax.block_until_ready(out)
+    np.asarray(out)  # force real completion (block_until_ready can lie
+    # through this box's TPU relay — observed 0.0 ms "timings")
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(scatter_rate_probe(ids))
+        np.asarray(scatter_rate_probe(ids).sum())
         ts.append(time.perf_counter() - t0)
     ts.sort()
     ns = ts[0] / n * 1e9

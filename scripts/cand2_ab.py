@@ -75,9 +75,10 @@ def main():
         ts.sort()
         rec = tr.closest_hit(o, d, tn, tx)
         tri = np.asarray(rec.triangle_index)
+        ovf = bool(np.asarray(tr.overflow_probe(o, d, tn, tx)))
         results[sk] = (ts, tri)
         print(f"  {sk}: min {ts[0]*1e3:8.1f} ms  med {ts[len(ts)//2]*1e3:8.1f} ms"
-              f"  ({n / ts[0] / 1e6:.2f} Mrays/s)")
+              f"  ({n / ts[0] / 1e6:.2f} Mrays/s)  overflow={ovf}")
 
     a, b = results["cand0"][1], results["cand2"][1]
     agree = float(np.mean(a == b))

