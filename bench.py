@@ -967,7 +967,7 @@ def main():
                         help="only the 256x256 round-1-comparable config")
     parser.add_argument("--budget-s", type=float,
                         default=float(__import__("os").environ.get(
-                            "RT2_BENCH_BUDGET_S", 2400)),
+                            "RT2_BENCH_BUDGET_S", 2250)),
                         help="total wall-clock budget; stages that would "
                              "overrun are skipped, and a hard watchdog "
                              "prints the final headline line and exits 0 "
@@ -1174,42 +1174,43 @@ def main():
 
         # ordered (key, est_seconds, thunk): importance-first so the
         # headline prints early and slow stages can be budget-skipped.
-        # Estimates are the r4 MEASURED stage_seconds (BENCH_r04 tail)
-        # plus ~20% margin — the old cold-compile guesses summed to
-        # ~8,280s and made the budget math meaningless.
+        # Estimates are r5 MEASURED stage_seconds with a warm compile
+        # cache plus margin (the repo ships .jax_cache warmed for these
+        # exact shapes; a cold quick stage measured 656s, so the first
+        # stages carry extra headroom).
         stages = [
-            ("quick", 200, lambda: attempt(run_reference, **ref_cfg(
+            ("quick", 300, lambda: attempt(run_reference, **ref_cfg(
                 width=256, height=256, spp=2, bounces=3, frames=8,
                 scene_kind="corridor"))),
-            ("ladder", 330, lambda: attempt(run_reference, **ref_cfg(
+            ("ladder", 260, lambda: attempt(run_reference, **ref_cfg(
                 width=1920, height=1080, spp=8, bounces=5, frames=2,
                 scene_kind="ladder"))),
             # flagship DI+GI frame (what `app.py` renders by default)
-            ("pipeline_di", 400, lambda: attempt(
+            ("pipeline_di", 380, lambda: attempt(
                 run_pipeline, **pipe_cfg(enable_di=True))),
             # per-pass only when explicitly asked or in single-stage
             # pipeline mode ('all' runs the breakdown as its own late
             # stage instead)
-            ("pipeline", 210, lambda: attempt(run_pipeline, **pipe_cfg(
+            ("pipeline", 200, lambda: attempt(run_pipeline, **pipe_cfg(
                 per_pass=(args.per_pass if args.per_pass is not None
                           else args.mode == "pipeline")))),
-            ("rmse", 240, lambda: attempt(run_rmse, backend=args.backend)),
-            # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
-            ("duck", 140, lambda: attempt(run_reference, **ref_cfg(
-                width=args.width or 512, height=args.height or 512,
-                spp=args.spp or 4, bounces=args.bounces or 3,
-                frames=args.frames or 4, scene_kind="duck"))),
-            # 1/2/4/8-device scaling curve + measured comm fraction
-            ("scaling", 420, lambda: attempt(run_scaling)),
+            ("rmse", 230, lambda: attempt(run_rmse, backend=args.backend)),
             # BASELINE config 5: 4K fly-through, DI+GI + accumulation —
-            # promoted ahead of the optional stages (VERDICT r4 #3: the
-            # full-grid 4K p50 must land in the driver record)
-            ("flythrough_4k", 700, lambda: attempt(
+            # directly after the gates (VERDICT r4 #3: the full-grid 4K
+            # p50 must land in the driver record; ~600s warm)
+            ("flythrough_4k", 650, lambda: attempt(
                 run_flythrough,
                 width=args.width or 3840, height=args.height or 2160,
                 frames=args.frames or 3,
                 scene_kind=args.scene or "ladder",
                 backend=args.backend)),
+            # BASELINE config 2: ~12k-tri textured grid, 512^2, 4 spp
+            ("duck", 150, lambda: attempt(run_reference, **ref_cfg(
+                width=args.width or 512, height=args.height or 512,
+                spp=args.spp or 4, bounces=args.bounces or 3,
+                frames=args.frames or 4, scene_kind="duck"))),
+            # 1/2/4/8-device scaling curve + measured comm fraction
+            ("scaling", 330, lambda: attempt(run_scaling)),
             # checkerboard variant (RtxdiHelpers.hlsli:16-61): half the
             # lighting rays per frame, alternating fields
             ("pipeline_checkerboard", 400, lambda: attempt(
