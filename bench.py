@@ -724,8 +724,23 @@ def run_rmse_gi(size: int = 128, restir_frames: int = 384,
     LINEAR space (the recipe validated by
     tests/test_rmse.py::test_di_gi_display_matches_oracle — averaging
     tonemapped frames would under-count the spiky secondary-DI stream by
-    the AgX Jensen gap). Reports rmse_gi + its oracle floor + linear
-    energy ratio."""
+    the AgX Jensen gap).
+
+    Measured r5 characterization (frame-count sweep 96/384 at 48^2 and
+    384 at 128^2): the DI term alone sits ON the oracle noise floor
+    (residual ~0.003), while the GI chain carries a stable structured
+    display-RMSE residual of ~0.056 with a +2% energy surplus —
+    frame-count- and size-independent, so it is structure, not noise.
+    Direct A/Bs exonerate the final-MIS heuristic (identical RMSE with
+    enable_final_mis=0), the firefly clamp (identical at clamp=1e9), and
+    the specular demod/remod round trip (exact inverse, Helpers.glsl:
+    312-315 parity). Remaining candidates are the parity-preserved
+    packed SecondaryGBuffer round-trip (f16 throughput, R11G11B10
+    albedo, oct normals — the oracle uses full-precision attributes)
+    and 1-sample BRDF-NEE statistics at the bounce surface. The gates
+    reflect this: display-space energy (unbiasedness) is the hard gate;
+    rmse_consistent_with_noise is a diagnostic that currently reads
+    False by design until the residual is decomposed further."""
     import dataclasses
 
     import numpy as np
