@@ -734,10 +734,12 @@ def run_rmse_gi(size: int = 128, restir_frames: int = 384,
     Direct A/Bs exonerate the final-MIS heuristic (identical RMSE with
     enable_final_mis=0), the firefly clamp (identical at clamp=1e9), and
     the specular demod/remod round trip (exact inverse, Helpers.glsl:
-    312-315 parity). Remaining candidates are the parity-preserved
-    packed SecondaryGBuffer round-trip (f16 throughput, R11G11B10
-    albedo, oct normals — the oracle uses full-precision attributes)
-    and 1-sample BRDF-NEE statistics at the bounce surface. The gates
+    312-315 parity). Packing quantization is ruled out analytically
+    (f16 throughput ~0.05%, R11G11B10 albedo ~0.8% relative — far below
+    5%); the remaining candidate is the 1-sample BRDF-NEE estimator at
+    the bounce surface (solid-angle/area pdf conversion and eps guards
+    at grazing angles) — next round: pixel-level quadrature bisection,
+    the r2 workflow. The gates
     reflect this: display-space energy (unbiasedness) is the hard gate;
     rmse_consistent_with_noise is a diagnostic that currently reads
     False by design until the residual is decomposed further."""
